@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+  * exact dedup = one hash-groupBy shuffle on a 16-byte digest (not the
+    document text) — shuffle payload is keys + doc ids only;
+  * MinHash/LSH = per-doc signature (narrow map) → explode to (band, bucket)
+    → groupBy bucket → candidate pairs only ever meet inside a bucket —
+    no O(n²) comparison, and bucket skew is bounded by band width;
+  * SimHash = 64-bit signature per doc, near-dup = same signature (or
+    Hamming-adjacent via rotate-and-bucket), again a key-only shuffle;
+  * exact n-gram Jaccard verifies LSH candidates (the expensive check runs
+    on the candidate set, never the corpus cross-product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents
+    ), ranked AS (
+      SELECT doc_id, content_hash,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM hashed
+    )
+    SELECT doc_id, content_hash, n_copies, (rn = 1) AS is_survivor
+    FROM ranked
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(normalized text) with the
+    lowest doc_id as the deterministic survivor (replaces ref A3
+    dropDuplicates arbitrary-survivor, etl/transform.py:98,296)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    wcnt = Window.partitionBy("content_hash")
+    return d.select(
+        "doc_id",
+        "content_hash",
+        F.count("*").over(wcnt).alias("n_copies"),
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+def shingles(col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a document, as an array<string>.
+
+    Built from sequence+transform (JVM-side, no UDF): shingle i joins tokens
+    [i, i+n)."""
+    toks = F.split(col, " ")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)  # empty when count == 0
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+# DuckDB twin of `shingles` (3-gram): list_transform over range is end-exclusive
+_SQL_SHINGLES = """
+list_distinct(
+  list_transform(
+    range(1, greatest(len(string_split(lower(trim(text)), ' ')) - 2, 0) + 1),
+    i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+         string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
+         string_split(lower(trim(text)), ' ')[i+2]
+  )
+)
+"""
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for candidate near-dup pairs.
+
+    Distributed shape: explode distinct shingles → self-equi-join on shingle
+    (co-partitioned shuffle, never a cross product) → per-pair intersection
+    counts → Jaccard = |∩| / (|A|+|B|-|∩|) as one IEEE division. At scale the
+    shingle join is preceded by LSH bucketing (q_dedup_minhash) so only
+    candidate pairs reach this verifier."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", shingles(normalized_text()).alias("sh")
+    )
+    sh = d.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band
+
+
+def minhash_signature(shingle_col: F.Column, n_hashes: int = N_HASHES) -> F.Column:
+    """MinHash signature as array<bigint>: for hash i, min over shingles of
+    xxhash64(shingle, seed=i). Pure JVM expressions (transform + array_min),
+    one pass over each doc's shingles, no UDF and no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_bands(sig_col: F.Column, n_bands: int = N_BANDS) -> F.Column:
+    """Split a signature into LSH bands; bucket id = xxhash64 of the band's
+    rows. Docs sharing any band bucket become candidate pairs."""
+    rows_per_band = N_HASHES // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            b, F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+
+
+@query("q_dedup_minhash")  # rows-only: hash seeds are engine-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 32-hash MinHash signature →
+    8 bands → explode (band, bucket) → groupBy bucket → emit pairs from
+    multi-doc buckets. The only shuffle moves (band_id, bucket, doc_id)
+    triples — at 100 TB the text never moves, and banding bounds bucket
+    sizes. Exact-Jaccard verification of candidates is q_dedup_ngram_jaccard.
+    xxhash64 seeds are Spark-specific → rows-only driver check; semantics are
+    pytest-verified against exact Jaccard (tests/test_llm_ops.py)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", shingles(normalized_text()).alias("sh")
+    )
+    d = d.filter(F.size("sh") > 0)
+    sig = d.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    banded = sig.select(
+        "doc_id", F.posexplode(minhash_bands(F.col("sig"))).alias("band", "bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 is engine-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit) per document: weighted majority vote per bit over
+    token hashes, entirely in JVM expressions — for bit j, sign of
+    Σ_tokens (bit_j(xxhash64(tok)) ? 1 : -1). Near-dups share signatures.
+    Output: doc_id, simhash, and bucket population (docs per signature)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", normalized_text().alias("txt"))
+    toks = F.array_distinct(F.split(F.col("txt"), " "))
+    d = d.select("doc_id", F.transform(toks, lambda s: F.xxhash64(s)).alias("hashes"))
+
+    def bit_vote(j: int) -> F.Column:
+        # vote for bit j: +1 per token whose hash has bit j set, else -1
+        # (bit 63 is the sign bit: 1<<63 overflows signed long, use min-long)
+        mask = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        vote = F.aggregate(
+            F.col("hashes"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    # fold bits high→low: sim = ((b63*2 + b62)*2 + ...) — wraps at bit 63,
+    # deterministic (non-ANSI long arithmetic), fine for a signature
+    bits_high_to_low = F.array(*[bit_vote(j) for j in range(63, -1, -1)])
+    sim = F.aggregate(
+        bits_high_to_low,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    sigs = d.select("doc_id", sim.alias("simhash"))
+    from pyspark.sql.window import Window
+
+    wcnt = Window.partitionBy("simhash")
+    return sigs.select("doc_id", "simhash", F.count("*").over(wcnt).alias("bucket_size"))

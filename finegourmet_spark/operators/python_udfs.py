@@ -1,0 +1,113 @@
+"""Python-boundary operators: vectorized Pandas UDFs and grouped UDAFs.
+
+UDFs are the engine's slow path (SURVEY.md preamble): everything here is
+Arrow-batched (`pandas_udf` / `applyInPandas`), never row-at-a-time Python.
+Each UDF has a native-expression twin used as the DuckDB oracle, proving the
+Python path computes exactly what the declarative path would (the ref's phone
+normalizer X4, etl/transform.py:72-87, is validated the same way in
+finegourmet_spark/star/).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+
+@pandas_udf(LongType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    """Vectorized token count (split on single space, keeping empties —
+    exactly `len(string_split(text,' '))`)."""
+    return text.str.split(" ").map(len).astype("int64")
+
+
+@pandas_udf(DoubleType())
+def char_per_token_udf(text: pd.Series) -> pd.Series:
+    """chars / tokens as one IEEE double division (engine-portable)."""
+    n_chars = text.str.len().astype("float64")
+    n_toks = text.str.split(" ").map(len).astype("float64")
+    return n_chars / n_toks
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-vectorized) with a declarative-SQL oracle
+    twin — the correctness pattern for any Python hot-path escape hatch."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_udf(F.col("text")).alias("n_tokens"),
+        char_per_token_udf(F.col("text")).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_udaf",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via applyInPandas (UDAF surface). The
+    aggregate outputs are order-independent statistics (count/min/max/
+    distinct) so the Python path hash-matches the SQL oracle regardless of
+    shuffle arrival order."""
+    d = t(spark, sf_dir, "documents").select("lang", "n_chars", "source")
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "min_chars": [pdf["n_chars"].min()],
+                "max_chars": [pdf["n_chars"].max()],
+                "n_sources": [pdf["source"].nunique()],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        agg_group,
+        schema="lang string, n_docs bigint, min_chars bigint, max_chars bigint, n_sources bigint",
+    )
+
+
+@query(
+    "q_map_in_pandas",
+    oracle="""
+    SELECT doc_id, length(text) AS text_len
+    FROM documents WHERE length(text) > 200
+    """,
+)
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: per-partition Arrow batch iterator (the escape hatch for
+    custom scans/operators — SURVEY.md 'custom operators' tier (b))."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text_len": pdf["text"].str.len().astype("int64")}
+            )
+            yield out[out["text_len"] > 200]
+
+    return d.mapInPandas(batches, schema="doc_id long, text_len bigint")

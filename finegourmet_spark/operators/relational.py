@@ -1,0 +1,999 @@
+"""Relational operator inventory (SURVEY.md §2B) as named, oracle-checked queries.
+
+Each query generalizes one reference operator family (citations inline) to
+its full Spark-native form over the driver test tables. All run declaratively
+through Catalyst — filters/projections push down to the parquet scans, small
+dims broadcast, aggregates use partial+final hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finegourmet_spark.functions.money import SQL_DAVG, SQL_DSUM, davg, dec, dsum
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+# ---------------------------------------------------------------------------
+# scan / projection / cast   (generalizes ref S1-S5, P1-P7: etl/extract.py:55-153,
+# etl/transform.py:124-137 — explicit schema scans + rename/cast/select)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           CAST(l_quantity AS INT) AS qty,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           l_returnflag AS flag,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + projection + cast + rename. Column pruning reaches the parquet
+    scan: only 5 of 11 lineitem columns are read (ref reads 11-col CSVs and
+    keeps ~7 — etl/extract.py:70-86)."""
+    return t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_quantity > 30
+      AND l_returnflag IN ('A','N')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND (l_linestatus = 'F' OR l_discount < 0.05)
+      AND l_tax IS NOT NULL
+      AND regexp_matches(l_returnflag, '^[AN]$')
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter surface: comparison, isin, range, boolean algebra, null test,
+    regex (ref F1-F7: etl/transform.py:84,140-149,223-251,333). All predicates
+    reach PushedFilters in the parquet scan except the rlike residual."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & ((F.col("l_linestatus") == "F") | (F.col("l_discount") < 0.05))
+        & F.col("l_tax").isNotNull()
+        & F.col("l_returnflag").rlike("^[AN]$")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice IS NULL THEN 'unknown'
+                WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_band,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'partial' END AS status_label,
+           CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch conditional derivation (ref F7/X6/X7/P8 `when` ladders:
+    etl/transform.py:140-149,184-251; etl/loader.py:55-57)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice").isNull(), "unknown")
+        .when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("size_band"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_label"),
+        F.when(F.col("o_orderpriority").startswith("1"), 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS seg_upper,
+           trim(c_name) AS name_trim,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+           coalesce(nullif(regexp_extract(c_name, '([0-9]+)', 1), ''), '') AS name_digits,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           len(string_split(c_name, '#')) AS name_parts
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (ref X1-X10: etl/transform.py:53-87,181-261 —
+    scrub/normalize/substring/concat/regex repair)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim("c_name").alias("name_trim"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.size(F.split("c_name", "#")).cast("bigint").alias("name_parts"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function surface (ref P4 to_date: etl/extract.py:86; dashboard
+    month rollup SURVEY §2C #4)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("bigint").alias("days_to_y2k"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0) AS dist_from_50k,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kilo,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_orderkey % 97 AS key_mod,
+           power(CAST(l_linenumber AS DOUBLE), 2) AS line_sq,
+           CAST(round(CAST(l_discount AS DECIMAL(18,4)) * 100, 0) AS DOUBLE) AS disc_pct
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface. Only IEEE-exact ops feed the hash (abs/floor/ceil/mod;
+    sqrt is correctly-rounded per IEEE-754; round happens in decimal) —
+    transcendentals would differ between libm implementations in last ulps."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_50k"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_kilo"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.pow(F.col("l_linenumber").cast("double"), 2).alias("line_sq"),
+        F.round(dec("l_discount") * 100, 0).cast("double").alias("disc_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins   (ref J1-J5: etl/transform.py:96-103,152-165,395-406 — all broadcast
+# left equi-joins of a fact against small dims)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, dim side broadcast (customer ≪ fact at scale; ref J1)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (ref J1-J5 are all left)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),
+         rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+    SELECT b.o_custkey AS buyer_key, r.c_custkey AS rich_key, r.c_acctbal
+    FROM buyers b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived sets."""
+    buyers = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    return buyers.join(rich, buyers.o_custkey == rich.c_custkey, "full").select(
+        F.col("o_custkey").alias("buyer_key"),
+        F.col("c_custkey").alias("rich_key"),
+        "c_acctbal",
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: the ref's null-FK audit (etl/transform.py:173-178) is
+    exactly an anti-join routed to a quarantine channel."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES (0.0, 10.0, 'tiny'), (10.0, 25.0, 'small'),
+                            (25.0, 40.0, 'medium'), (40.0, 1e9, 'big'))
+             AS b(lo, hi, band)
+    )
+    SELECT b.band, COUNT(*) AS n_lines,
+           {dsum} AS band_revenue
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """.format(dsum=SQL_DSUM("l.l_extendedprice")),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: banded join against a tiny broadcast table —
+    planned as BroadcastNestedLoopJoin, the right physical strategy when one
+    side is rows-small (engine extension; no ref precedent)."""
+    li = t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "tiny"), (10.0, 25.0, "small"), (25.0, 40.0, "medium"), (40.0, 1e9, "big")],
+        "lo double, hi double, band string",
+    )
+    cond = (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi)
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice", "band_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation   (ref A1-A3: etl/transform.py:98,174,334-340; dashboard SUM(Price))
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           {sum_base} AS sum_base_price,
+           {sum_disc} AS sum_disc_price,
+           {avg_qty} AS avg_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(*) AS count_order,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=SQL_DSUM("l_quantity"),
+        sum_base=SQL_DSUM("l_extendedprice"),
+        sum_disc=SQL_DSUM(
+            "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+        ),
+        avg_qty=SQL_DAVG("l_quantity"),
+    ),
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the q_agg_basic family
+    (sum/avg/min/max/count/count_distinct) with partial+final hash agg.
+    Generalizes the dashboard's SUM(Price) measures (SURVEY §2C #1-#4)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(dec(disc_price, 18, 4)).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+            F.count("*").alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_agg_first_nonnull",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS prio,
+             o_orderdate, o_orderkey
+      FROM orders
+    ), ranked AS (
+      SELECT o_custkey, prio,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY (prio IS NULL), o_orderdate, o_orderkey) AS rn
+      FROM src
+    )
+    SELECT o_custkey, prio AS first_prio FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_first_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-non-null collapse per key. The reference uses
+    groupBy().agg(first(ignorenulls=True)) whose survivor depends on partition
+    order (etl/transform.py:334-340) — here the survivor rule is an explicit
+    total order (non-null first, then earliest date, then key)."""
+    o = t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("prio").isNull().asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("prio").alias("first_prio"))
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           {bal} AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """.format(bal=SQL_DSUM("c_acctbal")),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region → nation → grand total (dashboard per-
+    category/per-store/total cards, SURVEY §2C #1-#3 generalized)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"), dsum("c_acctbal", "total_bal")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {rev} AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(rev=SQL_DSUM("l_extendedprice")),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice", "revenue")
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (exercises the engine's SQL entry path)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query("q_agg_approx")  # rows-only: sketch internals differ between engines
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB posture: HLL++ count-distinct and
+    GK-sketch percentiles avoid the exact-distinct shuffle that dominates at
+    scale. Sketch values are engine-specific → rows-only driver check; exact
+    bounds are asserted in tests/test_relational.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows   (ref W1/W2: etl/transform.py:253-261,341-342)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ranking (ref W1 dup-repair window, etl/transform.py:253-261)
+    with a unique tie-break so every rank is deterministic."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions + running frame (trend deltas / running
+    revenue — dashboard §2C #4 generalized). Running sum goes through decimal
+    so the cumulative value is exact at every row."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.sum(dec("o_totalprice")).over(wrun).cast("double").alias("running_spend"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lag(F.col("o_orderdate").cast("date")).over(w)
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "q_dedup_rownum",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_shipdate, l_linenumber) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with an explicit survivor rule (earliest shipdate, then
+    linenumber) — replaces the ref's arbitrary-survivor dropDuplicates
+    (etl/transform.py:98,296) and its W1 suffix workaround."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordering / limits / set ops / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, {rev} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey
+    LIMIT 10
+    """.format(rev=SQL_DSUM("l.l_extendedprice")),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (dashboard top-products §2C #7). Catalyst plans
+    TakeOrderedAndProject — no global sort materialization. Tie-break on
+    p_partkey keeps the k-boundary deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(dsum("l_extendedprice", "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           row_number() OVER (ORDER BY s_nationkey ASC,
+                              s_acctbal DESC NULLS LAST, s_suppkey ASC) AS pos
+    FROM supplier
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column sort with null placement; the observable artifact is the
+    rank under that total order (value hashing is order-insensitive, so the
+    sort itself must be witnessed by a column)."""
+    s = t(spark, sf_dir, "supplier")
+    w = Window.orderBy(
+        F.col("s_nationkey").asc(), F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey").asc()
+    )
+    return s.select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal", F.row_number().over(w).alias("pos")
+    ).orderBy("pos")
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_custkey AS entity_key, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName (ref U1: etl/extract.py:88-92, etl/transform.py:332,387)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("kind"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("kind"))
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both finished and open orders."""
+    o = t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who never ordered (≡ anti-join, planned
+    differently — both surfaces supported)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# star / repair / keys / pivot   (the engine-grade versions of the ref's core)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_star_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           {rev} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY r.r_name, n.n_name
+    """.format(
+        rev=SQL_DSUM(
+            "CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))"
+        )
+    ),
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: full star query — fact ⋈ order ⋈ 3 broadcast dims,
+    date-range filter, grouped revenue (SURVEY §2C #5-#9 on TPC-H shape).
+    lineitem⋈orders co-shuffles on orderkey; every dim side is broadcast,
+    so the star adds zero extra shuffles at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    disc_rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dec(disc_rev, 18, 4)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_null_repair",
+    oracle="""
+    WITH damaged AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_extendedprice END AS price
+      FROM lineitem
+    )
+    SELECT d.l_orderkey, d.l_linenumber,
+           coalesce(d.price, p.p_retailprice) AS repaired_price,
+           (d.price IS NULL) AS was_repaired
+    FROM damaged d JOIN part p ON d.l_partkey = p.p_partkey
+    """,
+)
+def q_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-coalesce lookup repair (ref X8/X9: CEGID missing price ← product
+    reference, etl/transform.py:158-170,405) — one broadcast join + coalesce,
+    folding the ref's two joins against the same dim into one (SURVEY §4.4)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    damaged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 97 == 0, None).otherwise(F.col("l_extendedprice")).alias(
+            "price"
+        ),
+    )
+    return damaged.join(F.broadcast(p), damaged.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("price", "p_retailprice").alias("repaired_price"),
+        F.col("price").isNull().alias("was_repaired"),
+    )
+
+
+@query(
+    "q_surrogate_keys",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_name, c_custkey) AS client_sk
+    FROM customer
+    """,
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate keys under an explicit total order (ref W2:
+    row_number over a GLOBAL window, etl/transform.py:341-342 — a single-task
+    bottleneck). Kept here for oracle parity; the scale-safe variant is
+    q_surrogate_keys_scalable."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_name", "c_custkey")
+    return c.select("c_custkey", F.row_number().over(w).alias("client_sk"))
+
+
+@query(
+    "q_surrogate_keys_scalable",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_keys,
+           1 AS min_key, COUNT(*) AS max_key
+    FROM customer
+    """,
+)
+def q_surrogate_keys_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe dense surrogate keys: zipWithIndex-style two-phase assignment
+    (per-partition counts → offsets → partition-local index + offset). No
+    global window, no single-task stage; the only cross-node traffic is one
+    tiny count-per-partition collect. Key VALUES are partition-order dependent
+    → the oracle checks the invariants instead: n_keys == n_rows, keys dense
+    in [1, n]."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # two-phase dense id: per-partition offsets computed from partition sizes
+    rdd = c.rdd.zipWithIndex()
+    keyed = rdd.map(lambda pair: (*pair[0], pair[1] + 1))
+    df = spark.createDataFrame(keyed, "c_custkey long, c_name string, client_sk long")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("client_sk").alias("n_distinct_keys"),
+        F.min("client_sk").cast("int").alias("min_key"),
+        F.max("client_sk").alias("max_key"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT month(l_shipdate) AS ship_month,
+           {a} AS rev_A, {n} AS rev_N, {r} AS rev_R
+    FROM lineitem
+    GROUP BY month(l_shipdate)
+    """.format(
+        a="CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='A') AS DOUBLE)",
+        n="CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='N') AS DOUBLE)",
+        r="CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='R') AS DOUBLE)",
+    ),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot month × return-flag revenue matrix (dashboard month×type,
+    SURVEY §2C #4). Pivot values are declared explicitly — no extra distinct
+    scan to discover them, and stable output column order."""
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy(F.month("l_shipdate").alias("ship_month"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec("l_extendedprice")).cast("double"))
+    )
+    return piv.select(
+        "ship_month",
+        F.col("A").alias("rev_A"),
+        F.col("N").alias("rev_N"),
+        F.col("R").alias("rev_R"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured: JSON / arrays / maps   (ref S3 multiline JSON scan → engine
+# extension to JSON scalar functions and collection types)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_round
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction on events.props (ref S3 reads JSON as a source;
+    the engine also processes JSON-in-a-column: get_json_object + from_json)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        ((k % 10) == 0).alias("k_round"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[1] AS first_tok,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab
+    FROM documents
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: split/size/contains/element_at/distinct/sort/join."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
+    )
+
+
+@query(
+    "q_explode_wordcount",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + aggregate (the canonical lateral-view shape)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT doc_id,
+           'lang' AS first_key,
+           lang AS lang_val,
+           2 AS n_keys
+    FROM documents
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access (map_from_arrays/element_at/map_keys).
+    The oracle sees through the map — DuckDB checks the extracted values."""
+    d = t(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, F.lit("lang")).alias("lang_val"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )

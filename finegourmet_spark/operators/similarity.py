@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k (exact, the recall ceiling).
+Scale path: IVF-style partitioned search — restrict the pair space to a
+coarse bucket (here the `label` column stands in for a quantizer
+assignment), so each probe touches 1/n_buckets of the corpus; the bucket
+join co-partitions both sides on the bucket key, turning O(N²) into
+O(N²/buckets) with no broadcast of the corpus.
+
+Dot products are JVM-side (`zip_with` + `aggregate` fold, element order
+fixed) — no Python in the O(N·k) path. Scores are rounded to 6 decimals
+*before* ranking so rank boundaries are stable across engines/partitionings
+(FP dot products agree to ~1e-12 relative; ranking on the rounded value with
+a vec_id tie-break makes top-k deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+DIM = 64
+TOP_K = 5
+N_QUERIES = 20  # probe set: first 20 vec_ids
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in doubles, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twins (same sequential element order via list_transform + explicit fold)
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_sql_cosine('q.qe', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) probe set against the
+    corpus — one scan of the corpus, no corpus shuffle, per-partition partial
+    top-k via the rank window. This is the exact baseline an ANN variant
+    (q_similarity_ivf) is measured against."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    scored = (
+        t(spark, sf_dir, "embeddings")
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@query(
+    "q_similarity_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_sql_cosine('q.qe', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN embeddings e
+        ON e.label = q.qlabel AND e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: probe only the query's coarse cell (`label` = the
+    quantizer assignment; a real IVF trains centroids with spark.ml KMeans
+    and assigns via argmin — same plan shape). The bucket equi-join
+    co-partitions corpus and probes on the cell id: each cell's scoring is
+    local to one task, the full corpus is never cross-joined."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        t(spark, sf_dir, "embeddings")
+        .join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@query("q_similarity_lsh")  # rows-only: random hyperplanes are engine-seeded
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH buckets (cosine LSH): 16 pseudo-random
+    hyperplanes derived deterministically from xxhash64(dim_index, plane) —
+    bucket = 16-bit sign pattern. Neighbor candidates share buckets; driver
+    check is rows-only (hash-seeded planes), recall is pytest-verified
+    against the exact top-k."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def plane_component(p: int, i: Column) -> Column:
+        # deterministic pseudo-gaussian in [-0.5, 0.5) from a 64-bit hash
+        h = F.xxhash64(i, F.lit(p))
+        return (h.cast("double") / F.lit(float(2**64))).alias(f"c{p}")
+
+    idx = F.sequence(F.lit(1), F.lit(DIM))
+
+    def sign_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                idx,
+                lambda x, i: x.cast("double") * plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = sum(
+        (sign_bit(p) * F.lit(1 << p) for p in range(16)), F.lit(0)
+    )
+    return e.select("vec_id", bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )

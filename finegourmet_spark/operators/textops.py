@@ -1,0 +1,186 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2B,
+BASELINE.json north star): token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All hot-path expressions are JVM-side built-ins (split/length/regexp/md5) —
+whole-stage-codegen friendly, no Python in the per-document path. At 100 TB
+these run as a single scan + projection per document partition with no
+shuffle until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+# stopword marker sets for the language-ID heuristic (counted via the
+# replace-length trick so the same expression runs in Spark and DuckDB)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "das"],
+    "es": ["el", "los", "que"],
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a padded token — engine-portable
+    exact arithmetic: (len(s) - len(replace(s, t, ''))) / len(t)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    tok = f" {needle} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(tok), F.lit(""))))
+        / F.lit(len(tok))
+    ).cast("bigint")
+
+
+def _sql_occurrences(expr: str, needle: str) -> str:
+    tok = f" {needle} "
+    padded = f"(' ' || {expr} || ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{tok}', ''))) / {len(tok)} AS BIGINT)"
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           MIN(length(text)) AS min_chars,
+           MAX(length(text)) AS max_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token/char statistics per language (generalizes ref X1-X3
+    string cleaning, etl/transform.py:53-70, to corpus analytics)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.select("lang", "source", F.size(toks).alias("n_tokens"), F.length("text").alias("len"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("len").cast("bigint").alias("total_chars"),
+            F.min("len").cast("bigint").alias("min_chars"),
+            F.max("len").cast("bigint").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           {the_count} AS stopword_hits,
+           (length(text) >= 50 AND len(string_split(text, ' ')) >= 10) AS passes_length_gate
+    FROM documents
+    """.format(the_count=_sql_occurrences("text", "the")),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: length gates, punctuation density, stopword
+    hits — the standard pre-training corpus filters, all as exact integer
+    arithmetic (ratios are single IEEE divisions)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
+        _occurrences(F.col("text"), "the").alias("stopword_hits"),
+        ((n_chars >= 50) & (n_tokens >= 10)).alias("passes_length_gate"),
+    )
+
+
+def _lang_score_cols() -> list[Column]:
+    return [
+        sum((_occurrences(F.col("text"), m) for m in markers), F.lit(0).cast("bigint")).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             {en} AS score_en, {fr} AS score_fr, {de} AS score_de, {es} AS score_es
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_de, score_es,
+           CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es
+                     AND score_en > 0 THEN 'en'
+                WHEN score_fr >= score_de AND score_fr >= score_es AND score_fr > 0 THEN 'fr'
+                WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+                WHEN score_es > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """.format(
+        en=" + ".join(_sql_occurrences("text", m) for m in LANG_MARKERS["en"]),
+        fr=" + ".join(_sql_occurrences("text", m) for m in LANG_MARKERS["fr"]),
+        de=" + ".join(_sql_occurrences("text", m) for m in LANG_MARKERS["de"]),
+        es=" + ".join(_sql_occurrences("text", m) for m in LANG_MARKERS["es"]),
+    ),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic with a deterministic argmax
+    (priority order en > fr > de > es on ties)."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", *_lang_score_cols())
+    en, fr, de, es = (F.col(f"score_{lg}") for lg in ("en", "fr", "de", "es"))
+    pred = (
+        F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), "en")
+        .when((fr >= de) & (fr >= es) & (fr > 0), "fr")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id", "score_en", "score_fr", "score_de", "score_es", pred.alias("predicted_lang")
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_hash,
+           substring(md5(lower(trim(text))), 1, 8) AS short_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+             AS bow_fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    bag-of-words fingerprint (md5 of the sorted distinct vocabulary — robust
+    to token reordering, the cheap near-dup signal before MinHash)."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    bow = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_hash"),
+        F.substring(F.md5(norm), 1, 8).alias("short_fp"),
+        bow.alias("bow_fingerprint"),
+    )

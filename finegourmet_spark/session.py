@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Replaces the reference's ad-hoc session construction
+(reference: etl/extract.py:44-52) with a tuned, reusable factory.
+
+Scale posture (designed for a 1000-executor cluster, tested on local[*]):
+  * AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+    dynamic broadcast conversion.
+  * ANSI off: the engine preserves the reference's permissive cast-to-NULL
+    semantics (SURVEY.md §2A F7); oracles use TRY_CAST explicitly.
+  * Session timezone pinned to UTC so date/timestamp semantics are
+    cluster-location independent (and match the DuckDB oracle).
+  * Arrow enabled for the Pandas-UDF path (vectorized Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "finegourmet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # --- correctness-affecting semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # --- scale posture ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Python boundary: Arrow-vectorized, never row-at-a-time ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep driver logs readable
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,64 @@
+"""Loaders for the driver's TPC-H-ish parquet test tables (TESTDATA.md).
+
+Explicit schemas everywhere — the engine never uses inferSchema (the
+reference double-scans every CSV for inference, reference: etl/extract.py:67;
+see SURVEY.md §4 item 3). For parquet the schema travels in the footer, but we
+still pin expected schemas so a drifted file fails loudly instead of silently
+changing plan shapes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always broadcast in star joins.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Column pruning + predicate pushdown reach the
+    parquet scan because we return the raw declarative scan (no caching,
+    no eager materialization).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as long (legacy flag) and truncate ns → µs —
+    the same truncation DuckDB applies when casting TIMESTAMP_NS to
+    TIMESTAMP, so both engines see identical µs values."""
+    df = _read(spark, sf_dir, name)
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API path."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

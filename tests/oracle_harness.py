@@ -1,0 +1,93 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL on the same parquet dir,
+then compares row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted by stringified tuple — stricter than a
+hash: mismatches show the first differing row).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from typing import Any
+
+import duckdb
+
+from finegourmet_spark.sources.testdata import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
+
+
+def _canon(v: Any) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)  # full precision — exact match required
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return str(v.normalize())
+    except ImportError:
+        pass
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty ⇒ parity)."""
+    problems: list[str] = []
+    srows = spark_df.collect()
+    scols = spark_df.columns
+    ocols, orows = run_oracle(oracle_sql, sf_dir)
+
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")
+        return problems
+    if len(srows) != len(orows):
+        problems.append(f"row count differs: spark={len(srows)} oracle={len(orows)}")
+
+    sc = canonical_rows(scols, [tuple(r) for r in srows])
+    oc = canonical_rows(ocols, orows)
+    if sc != oc:
+        n_bad = 0
+        for i, (a, b) in enumerate(zip(sc, oc)):
+            if a != b:
+                problems.append(f"row {i} differs:\n  spark : {a}\n  oracle: {b}")
+                n_bad += 1
+                if n_bad >= 3:
+                    break
+        if len(sc) != len(oc):
+            problems.append(f"canonical lengths differ: {len(sc)} vs {len(oc)}")
+        if not problems:
+            problems.append("rows differ (ordering anomaly)")
+    return problems

@@ -1,0 +1,33 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.001.
+
+This mirrors the driver's t2 gate (which runs at sf0.01) so oracle drift is
+caught locally before a round ends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+from tests.oracle_harness import compare
+
+QUERIES = contract.queries()
+ORACLES = contract.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    problems = compare(df, ORACLES[name], sf_dir)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = contract.entry(spark)
+    assert df.count() > 0
