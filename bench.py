@@ -1,0 +1,74 @@
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is materialized with a noop-format write so every output column is
+computed (a bare .count() would let Catalyst prune the projections we're
+trying to measure) while sink cost stays zero.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q_star_join",
+    "q_agg_basic",
+    "q_topk",
+    "q_window_rank",
+    "q_join_inner",
+    "q_pivot",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_explode_wordcount",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from finegourmet_spark.session import get_spark
+
+    import __spark_entry__ as contract
+
+    spark = get_spark(app_name="finegourmet_bench")
+    queries = contract.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: JIT+IO cache
+        best = float("inf")
+        for _ in range(2):  # min-of-2 damps JIT/GC noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

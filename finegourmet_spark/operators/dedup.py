@@ -150,47 +150,50 @@ N_HASHES = 32
 N_BANDS = 8  # 4 rows per band
 
 
-def minhash_signature(shingle_col: F.Column, n_hashes: int = N_HASHES) -> F.Column:
-    """MinHash signature as array<bigint>: for hash i, min over shingles of
-    xxhash64(shingle, seed=i). Pure JVM expressions (transform + array_min),
-    one pass over each doc's shingles, no UDF and no shuffle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
-        ),
-    )
+def minhash_banded(docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, bucket) LSH assignments, computed relationally.
 
+    Shape: explode distinct shingles → ONE hash-groupBy(doc_id) computing all
+    `n_hashes` signature rows as `min(xxhash64(shingle, seed))` aggregates —
+    partial (map-side) min combine means the shuffle carries n_hashes longs
+    per doc, never the shingles — → per-band bucket = xxhash64 over the
+    band's signature rows → unpivot to (band, bucket).
 
-def minhash_bands(sig_col: F.Column, n_bands: int = N_BANDS) -> F.Column:
-    """Split a signature into LSH bands; bucket id = xxhash64 of the band's
-    rows. Docs sharing any band bucket become candidate pairs."""
-    rows_per_band = N_HASHES // n_bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.xxhash64(
-            b, F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
-        ),
+    (A nested-array formulation — transform/array_min over an array column —
+    is O(1) shuffles too but Catalyst's CollapseProject inlines the signature
+    expression into every band, recomputing it 8×; this relational form
+    evaluates each hash exactly once and scales its shuffle with docs, not
+    text.)
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = docs.select("doc_id", F.explode(shingles(normalized_text())).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 @query("q_dedup_minhash")  # rows-only: hash seeds are engine-specific
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 32-hash MinHash signature →
-    8 bands → explode (band, bucket) → groupBy bucket → emit pairs from
-    multi-doc buckets. The only shuffle moves (band_id, bucket, doc_id)
-    triples — at 100 TB the text never moves, and banding bounds bucket
-    sizes. Exact-Jaccard verification of candidates is q_dedup_ngram_jaccard.
-    xxhash64 seeds are Spark-specific → rows-only driver check; semantics are
-    pytest-verified against exact Jaccard (tests/test_llm_ops.py)."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", shingles(normalized_text()).alias("sh")
-    )
-    d = d.filter(F.size("sh") > 0)
-    sig = d.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
-    banded = sig.select(
-        "doc_id", F.posexplode(minhash_bands(F.col("sig"))).alias("band", "bucket")
-    )
+    8 bands → (band, bucket) → self-equi-join on the bucket → candidate
+    pairs. The only shuffles move (doc_id, band, bucket) triples — at 100 TB
+    the text never moves, and banding bounds bucket sizes. Exact-Jaccard
+    verification of candidates is q_dedup_ngram_jaccard. xxhash64 seeds are
+    Spark-specific → rows-only driver check; semantics are pytest-verified
+    against exact Jaccard (tests/test_llm_ops.py)."""
+    banded = minhash_banded(t(spark, sf_dir, "documents"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
