@@ -1,0 +1,64 @@
+"""Star-schema sinks: partitioned Parquet (primary) + optional JDBC mirror.
+
+vs the reference loader (etl/loader.py:50-96):
+  * idempotent `overwrite` instead of blind `append` (re-running the ref
+    duplicates every row; PK collisions are swallowed by a bare except —
+    SURVEY.md §3.3.4);
+  * fact partitioned by sale month → dynamic partition pruning for the
+    month-rollup dashboard queries, and month-at-a-time backfill at scale;
+  * no side-channel mysql.connector DDL socket (ref etl/loader.py:64-76) —
+    FK ordering is write order (dims before fact), exactly as main.py:108-115
+    already relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_dim(df: DataFrame, out_dir: str, name: str) -> None:
+    df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
+
+def write_fact(fact: DataFrame, out_dir: str, name: str = "Fact_Sales") -> None:
+    (
+        fact.withColumn("Sale_Month", F.date_format("Date", "yyyy-MM"))
+        .repartition("Sale_Month")  # one writer-group per partition → no tiny files
+        .write.mode("overwrite")
+        .partitionBy("Sale_Month")
+        .parquet(f"{out_dir}/{name}")
+    )
+
+
+def write_star(
+    star: dict[str, DataFrame], out_dir: str
+) -> None:
+    """Write dims first, fact last (FK write-order discipline)."""
+    for name in ("Dim_Client", "Dim_Product", "Dim_Store"):
+        write_dim(star[name], out_dir, name)
+    write_fact(star["Fact_Sales"], out_dir)
+
+
+def read_star(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(f"{out_dir}/{name}")
+        for name in ("Dim_Client", "Dim_Product", "Dim_Store", "Fact_Sales")
+    }
+
+
+def mirror_to_jdbc(
+    star: dict[str, DataFrame], url: str, properties: dict[str, str]
+) -> None:
+    """Optional JDBC mirror (ref S6, etl/loader.py:79) — overwrite+truncate
+    keeps the target idempotent. Requires the JDBC driver on the classpath;
+    import/connectivity errors surface to the caller (no bare except)."""
+    for name in ("Dim_Client", "Dim_Product", "Dim_Store", "Fact_Sales"):
+        df = star[name]
+        if name == "Fact_Sales":
+            df = df.drop("Sale_Month")
+        (
+            df.write.mode("overwrite")
+            .option("truncate", "true")
+            .jdbc(url, name, properties=properties)
+        )

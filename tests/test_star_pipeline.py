@@ -1,0 +1,149 @@
+"""Golden end-to-end test of the delicatessen star-schema pipeline on
+synthetic fixtures reproducing the reference's anomaly taxonomy
+(FIXTURES.md §5 assertions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finegourmet_spark.star.pipeline import run_pipeline
+from tests.fixtures_gen import write_fixtures
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("delicatessen"))
+    paths = write_fixtures(root)
+    return run_pipeline(spark, **paths)
+
+
+def test_dim_product_latest_file_wins(result):
+    dim = {r["Product_ID"]: r for r in result.star["Dim_Product"].collect()}
+    assert len(dim) == 5  # P000001-5: union of both files, deduped
+    assert dim["P000001"]["Price"] == 11.50  # 2025 file survives, not 10.90
+    assert dim["P000005"]["Category"] == "charcuterie"
+
+
+def test_dim_store(result):
+    stores = result.star["Dim_Store"].collect()
+    assert len(stores) == 5
+    byid = {r["Store_ID"]: r for r in stores}
+    # quoted comma-containing address parsed intact through the pipe format
+    assert byid["PA01"]["Address"] == "12 Rue des Francs Bourgeois, 75003 Paris"
+
+
+def test_dim_client_collapse_and_keys(result):
+    clients = result.star["Dim_Client"].collect()
+    emails = sorted(r["Email"] for r in clients)
+    # 5 sfcc clients (dupont counted once; leroy quarantined with his row;
+    # emma normalized from mixed case) + 1 cegid-only store client
+    assert emails == [
+        "emma.bernard@gmail.com",
+        "isabelle.dupont@gmail.com",
+        "luc.martin@gmail.com",
+        "nina.petit@gmail.com",
+        "store.client@gmail.com",
+    ]
+    ids = sorted(r["Client_ID"] for r in clients)
+    assert ids == list(range(1, len(clients) + 1))  # dense 1..N
+    byemail = {r["Email"]: r for r in clients}
+    # CEGID-only client has all-null attributes (ref etl/transform.py:327-331)
+    store_client = byemail["store.client@gmail.com"]
+    assert store_client["Last_Name"] is None and store_client["Phone"] is None
+    # SFCC attributes survive the collapse deterministically
+    assert byemail["isabelle.dupont@gmail.com"]["Last_Name"] == "Dupont"
+
+
+def test_phone_normalization(result):
+    byemail = {r["Email"]: r for r in result.star["Dim_Client"].collect()}
+    assert byemail["isabelle.dupont@gmail.com"]["Phone"] == "+33612345678"
+    # 8-digit-after-strip phone fails the 9-digit rule → NULL (ref X4)
+    assert byemail["nina.petit@gmail.com"]["Phone"] is None
+
+
+def test_quarantine_not_mangled(result):
+    # the leading-space-before-quote SFCC row is quarantined, not column-shifted
+    q = result.audits["sfcc_quarantine"].collect()
+    assert len(q) == 1
+    assert q[0]["sale_id"] == "S00006"
+
+
+def test_control_chars_scrubbed(result):
+    byemail = {r["Email"]: r for r in result.star["Dim_Client"].collect()}
+    assert byemail["luc.martin@gmail.com"]["Last_Name"] == "Martin Jean"
+
+
+def test_fact_rows_and_type_split(result):
+    fact = result.star["Fact_Sales"].collect()
+    # 5 clean SFCC rows (1 quarantined) + 7 CEGID rows
+    assert len(fact) == 12
+    by_id = {r["Sale_ID"]: r for r in fact}
+    # Type rule: Online ⇔ FK_Store_ID IS NULL (ref etl/loader.py:55-57);
+    # the unrepairable ZZZZ store lands Online by that rule
+    assert by_id["ZZZZ240300002"]["Type"] == "Online"
+    assert by_id["PA01240100001"]["Type"] == "Store"
+    n_online = sum(1 for r in fact if r["Type"] == "Online")
+    assert n_online == 5 + 1
+
+
+def test_sale_id_repair_and_dedup_suffix(result):
+    ids = {r["Sale_ID"] for r in result.star["Fact_Sales"].collect()}
+    # XX repair preserves the reference's EXACT semantics (etl/transform.py:
+    # 185-220): '{CODE}01' + substr(6) — the 5th char is dropped, so
+    # XXMO240100002 → MO01 + '40100002' (reference quirk, reproduced)
+    assert "MO0140100002" in ids and "XXMO240100002" not in ids
+    assert "BO02240800001" in ids and "BO02240800001_2" in ids  # dup suffix
+    # deterministic survivor: earliest date keeps the bare id
+    rows = {
+        r["Sale_ID"]: r
+        for r in result.star["Fact_Sales"].collect()
+        if r["Sale_ID"].startswith("BO02240800001")
+    }
+    assert str(rows["BO02240800001"]["Date"]) == "2024-08-01"
+
+
+def test_price_semantics(result):
+    by_id = {r["Sale_ID"]: r for r in result.star["Fact_Sales"].collect()}
+    # CEGID price is the line total, kept as-is
+    assert float(by_id["PA01240100001"]["Price"]) == 21.80
+    # invalid "x" price → NULL → repaired with UNIT reference price (ref X8,
+    # 2025 survivor price 11.50 — quantity NOT re-extended, ref semantics)
+    assert float(by_id["LY01240200001"]["Price"]) == 11.50
+    # SFCC price = unit price from product dim, Quantity forced to 1
+    assert by_id["S00001"]["Quantity"] == 1
+    assert float(by_id["S00001"]["Price"]) == 11.50
+
+
+def test_fk_integrity_and_missing_product_audit(result):
+    fact = result.star["Fact_Sales"]
+    # exactly one orphan FK_Product_ID: the deliberately-missing product
+    orphans = fact.filter(F.col("FK_Product_ID").isNull()).collect()
+    assert len(orphans) == 1 and orphans[0]["Sale_ID"] == "ST01240300001"
+    audit = result.audits["missing_products"].collect()
+    assert len(audit) == 1 and audit[0]["Product_Name"] == "Produit Fantome"
+    # every named client FK resolves
+    n_clients = result.star["Dim_Client"].count()
+    fks = {r["FK_Client_ID"] for r in fact.collect() if r["FK_Client_ID"] is not None}
+    assert fks <= set(range(1, n_clients + 1))
+
+
+def test_email_normalized_before_join(result):
+    """The ref normalizes dim emails AFTER fact-side normalization (ordering
+    bug, SURVEY.md §3.3.2). Engine normalizes once upstream: the mixed-case
+    ' EMMA.Bernard@GMAIL.com ' row must join to its client."""
+    fact = result.star["Fact_Sales"]
+    emma_sale = fact.filter(F.col("Sale_ID") == "S00003").collect()[0]
+    assert emma_sale["FK_Client_ID"] is not None
+
+
+def test_roundtrip_parquet(spark, result, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("star_out"))
+    from finegourmet_spark.star.load import read_star, write_star
+
+    write_star(result.star, out)
+    back = read_star(spark, out)
+    assert back["Fact_Sales"].count() == 12
+    assert "Sale_Month" in back["Fact_Sales"].columns  # partition column
+    months = {r["Sale_Month"] for r in back["Fact_Sales"].select("Sale_Month").collect()}
+    assert "2024-01" in months and "2024-08" in months
