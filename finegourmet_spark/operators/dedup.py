@@ -66,8 +66,11 @@ def shingles(col: F.Column, n: int = 3) -> F.Column:
     Built from sequence+transform (JVM-side, no UDF): shingle i joins tokens
     [i, i+n)."""
     toks = F.split(col, " ")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)  # empty when count == 0
+    count = F.size(toks) - (n - 1)
+    # NB sequence(1, 0) yields DESCENDING [1, 0] in Spark — guard explicitly
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(
             idx,

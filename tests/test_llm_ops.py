@@ -1,0 +1,111 @@
+"""Semantic tests for the LLM-pipeline operators: MinHash-LSH candidate
+recall vs exact Jaccard, SimHash clustering, exact dedup, ANN vs brute force.
+
+A synthetic corpus with KNOWN near-duplicates is written as a
+`documents.parquet` in a tmp dir shaped like the driver testdata, so the
+registered query functions run unchanged on it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+
+QUERIES = contract.queries()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the old stone bridge near the quiet river bank today"
+)
+NEAR_DUP = BASE.replace("quiet river", "silent river")  # 1-token change
+FAR = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized readers plus adaptive shuffle partitioning"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    rows = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, NEAR_DUP, "en", "src0", len(NEAR_DUP)),
+        (2, BASE, "en", "src1", len(BASE)),  # exact duplicate of 0
+        (3, FAR, "en", "src0", len(FAR)),
+        (4, "tiny", "en", "src0", 4),  # shorter than one shingle
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_exact_dedup_finds_identical_docs(spark, corpus_dir):
+    rows = {r["doc_id"]: r for r in QUERIES["q_dedup_exact"](spark, corpus_dir).collect()}
+    assert rows[0]["n_copies"] == 2 and rows[2]["n_copies"] == 2
+    assert rows[0]["is_survivor"] and not rows[2]["is_survivor"]  # lowest id wins
+    assert rows[1]["n_copies"] == 1  # near-dup is NOT an exact dup
+
+
+def test_exact_jaccard_scores(spark, corpus_dir):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, corpus_dir).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # identical
+    assert 0.5 < pairs[(0, 1)] < 1.0  # near-dup: high but not 1
+    assert (0, 3) not in pairs  # unrelated pair below threshold
+
+
+def test_minhash_lsh_recalls_near_dups(spark, corpus_dir):
+    """Every exact-Jaccard ≥0.5 pair must surface as an LSH candidate
+    (32 hashes / 8 bands ⇒ band-collision prob ≈ 1-(1-s⁴)⁸ > 0.97 at s=0.8)."""
+    candidates = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_dedup_minhash"](spark, corpus_dir).collect()
+    }
+    assert (0, 2) in candidates  # identical docs always collide
+    assert (0, 1) in candidates and (1, 2) in candidates  # near-dups recalled
+    assert (0, 3) not in candidates  # unrelated docs don't collide
+
+
+def test_simhash_identical_docs_share_signature(spark, corpus_dir):
+    sigs = {r["doc_id"]: r for r in QUERIES["q_dedup_simhash"](spark, corpus_dir).collect()}
+    assert sigs[0]["simhash"] == sigs[2]["simhash"]
+    assert sigs[0]["bucket_size"] >= 2
+    assert sigs[0]["simhash"] != sigs[3]["simhash"]
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    # near-dup within a few bits; unrelated doc far away
+    assert hamming(sigs[0]["simhash"], sigs[1]["simhash"]) <= 8
+    assert hamming(sigs[0]["simhash"], sigs[3]["simhash"]) > 10
+
+
+def test_ivf_subset_of_bruteforce_space(spark, sf_dir):
+    """IVF probes only the query's cell — its neighbors are a subset of the
+    corpus, all sharing the query's label."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    ivf = QUERIES["q_similarity_ivf"](spark, sf_dir).collect()
+    assert ivf, "IVF returned no neighbors"
+    for r in ivf:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+
+def test_bruteforce_topk_is_exact_ceiling(spark, sf_dir):
+    """Brute-force top-1 neighbor similarity ≥ IVF top-1 for every query."""
+    bf = {
+        r["query_id"]: r["cos_sim"]
+        for r in QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    ivf = {
+        r["query_id"]: r["cos_sim"]
+        for r in QUERIES["q_similarity_ivf"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for q, s in ivf.items():
+        assert bf[q] >= s - 1e-9
