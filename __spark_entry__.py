@@ -22,6 +22,7 @@ import finegourmet_spark.operators.python_udfs  # noqa: F401
 import finegourmet_spark.operators.textops  # noqa: F401
 import finegourmet_spark.operators.dedup  # noqa: F401
 import finegourmet_spark.operators.similarity  # noqa: F401
+import finegourmet_spark.operators.skew  # noqa: F401
 import finegourmet_spark.operators.multimodal  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES

@@ -40,6 +40,27 @@ def write_star(
     write_fact(star["Fact_Sales"], out_dir)
 
 
+def backfill_months(fact_delta: DataFrame, out_dir: str, name: str = "Fact_Sales") -> None:
+    """Incremental month backfill: replace ONLY the partitions present in
+    the delta (spark.sql.sources.partitionOverwriteMode=dynamic), leaving
+    every other month untouched — the idempotent-rerun answer to the ref's
+    duplicate-on-rerun append (etl/loader.py:79; SURVEY.md §3.3.4). At
+    100 TB a daily rerun rewrites one month, not the table."""
+    spark = fact_delta.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            fact_delta.withColumn("Sale_Month", F.date_format("Date", "yyyy-MM"))
+            .repartition("Sale_Month")
+            .write.mode("overwrite")
+            .partitionBy("Sale_Month")
+            .parquet(f"{out_dir}/{name}")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_star(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     return {
         name: spark.read.parquet(f"{out_dir}/{name}")

@@ -147,3 +147,30 @@ def test_roundtrip_parquet(spark, result, tmp_path_factory):
     assert "Sale_Month" in back["Fact_Sales"].columns  # partition column
     months = {r["Sale_Month"] for r in back["Fact_Sales"].select("Sale_Month").collect()}
     assert "2024-01" in months and "2024-08" in months
+
+
+def test_backfill_replaces_only_target_month(spark, result, tmp_path_factory):
+    """Dynamic partition overwrite: a delta containing only August rows
+    rewrites the 2024-08 partition and leaves other months untouched."""
+    from pyspark.sql import functions as F
+
+    from finegourmet_spark.star.load import backfill_months, read_star, write_star
+
+    out = str(tmp_path_factory.mktemp("star_backfill"))
+    write_star(result.star, out)
+    before = read_star(spark, out)["Fact_Sales"]
+    n_before = before.count()
+    n_aug_before = before.filter(F.col("Sale_Month") == "2024-08").count()
+
+    # rerun August only — same rows, so totals must be unchanged (idempotent)
+    aug = result.star["Fact_Sales"].filter(F.date_format("Date", "yyyy-MM") == "2024-08")
+    backfill_months(aug, out)
+    after = read_star(spark, out)["Fact_Sales"]
+    assert after.count() == n_before
+    assert after.filter(F.col("Sale_Month") == "2024-08").count() == n_aug_before
+    # and a shrunken delta replaces (not appends to) its partition
+    one_row = aug.limit(1)
+    backfill_months(one_row, out)
+    again = read_star(spark, out)["Fact_Sales"]
+    assert again.filter(F.col("Sale_Month") == "2024-08").count() == 1
+    assert again.filter(F.col("Sale_Month") != "2024-08").count() == n_before - n_aug_before

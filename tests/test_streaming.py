@@ -110,3 +110,30 @@ def test_stream_incremental_second_batch(spark, tmp_path):
     _write_events(d, EVENTS[2:])
     _run_stream(stream_dedup(read_event_stream(spark, d)), "t_incr2", "append")
     assert spark.sql("SELECT count(*) c FROM t_incr2").collect()[0]["c"] == len(EVENTS) - 1
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches within
+    one availableNow run (file source splits into per-file batches via
+    maxFilesPerTrigger on the reader? — here both files land in one listing,
+    so we assert the final totals are correct either way)."""
+    from finegourmet_spark.streaming.stateful import stream_user_totals
+
+    d = str(tmp_path / "events_state")
+    _write_events(d, EVENTS)
+    src = read_event_stream(spark, d).select("user_id", "value")
+    q = (
+        stream_user_totals(src)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) v FROM t_state GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
+    assert got[1] == (3, 7.0)  # events 1,2,4
+    assert got[2] == (2, 6.0)  # dup event counted twice pre-dedup
