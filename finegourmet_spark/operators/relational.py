@@ -601,6 +601,43 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d,
+           COUNT(*) OVER (
+                PARTITION BY o_custkey
+                ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             AS orders_30d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): 30-day trailing spend per customer.
+    rangeBetween operates on the ORDER BY value, so same-day orders share one
+    frame — the rolling-metric semantics rowsBetween can't express."""
+    o = t(spark, sf_dir, "orders")
+    day_number = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_number)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        F.count("*").over(w).alias("orders_30d"),
+    )
+
+
+@query(
     "q_dedup_rownum",
     oracle="""
     WITH ranked AS (

@@ -143,19 +143,27 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
-@query("q_similarity_lsh")  # rows-only: random hyperplanes are engine-seeded
-def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH buckets (cosine LSH): 16 pseudo-random
-    hyperplanes derived deterministically from xxhash64(dim_index, plane) —
-    bucket = 16-bit sign pattern. Neighbor candidates share buckets; driver
-    check is rows-only (hash-seeded planes), recall is pytest-verified
-    against the exact top-k."""
+N_PLANES = 16  # 4 tables × 4 sign bits
+N_TABLES = 4
+BITS_PER_TABLE = N_PLANES // N_TABLES
+
+
+def lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table, bucket) sign-random-projection LSH assignments.
+
+    16 pseudo-random hyperplanes derived deterministically from
+    xxhash64(dim_index, plane) (reproducible without a shared RNG — a real
+    deployment would broadcast trained planes). 4 tables × 4 sign bits:
+    4-bit buckets keep collision probability per table high enough for
+    recall, multiple tables give misses another chance — the classic
+    banding trade-off. The projection is a per-row expression; the only
+    shuffle is the candidate join on (table, bucket)."""
     e = t(spark, sf_dir, "embeddings")
 
     def plane_component(p: int, i: Column) -> Column:
-        # deterministic pseudo-gaussian in [-0.5, 0.5) from a 64-bit hash
+        # deterministic pseudo-uniform in [-0.5, 0.5) from a 64-bit hash
         h = F.xxhash64(i, F.lit(p))
-        return (h.cast("double") / F.lit(float(2**64))).alias(f"c{p}")
+        return h.cast("double") / F.lit(float(2**64))
 
     idx = F.sequence(F.lit(1), F.lit(DIM))
 
@@ -171,9 +179,41 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
-    bucket = sum(
-        (sign_bit(p) * F.lit(1 << p) for p in range(16)), F.lit(0)
+    tables = [
+        F.struct(
+            F.lit(tbl).alias("table"),
+            sum(
+                (
+                    sign_bit(tbl * BITS_PER_TABLE + b) * F.lit(1 << b)
+                    for b in range(BITS_PER_TABLE)
+                ),
+                F.lit(0),
+            ).alias("bucket"),
+        )
+        for tbl in range(N_TABLES)
+    ]
+    return e.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
+        "vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
     )
-    return e.select("vec_id", bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+
+
+@query("q_similarity_lsh")  # rows-only: hash-seeded planes are engine-specific
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-LSH candidate pairs: vectors sharing any (table, bucket). The
+    pair space shrinks from O(N²) to colliding pairs; exact cosine re-scoring
+    of candidates is then q_similarity_topk's job on the candidate set.
+    Recall vs the exact top-1 neighbors is pytest-verified
+    (tests/test_approx_and_lsh.py)."""
+    assigned = lsh_tables(spark, sf_dir)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )

@@ -44,11 +44,35 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
         assert lo <= p50 <= p95 <= hi
 
 
-def test_cosine_lsh_buckets_partition_corpus(spark, sf_dir):
-    emb_count = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    rows = QUERIES["q_similarity_lsh"](spark, sf_dir).collect()
-    assert sum(r["n_vectors"] for r in rows) == emb_count  # exact partition
-    assert 1 < len(rows) <= emb_count
+def test_cosine_lsh_candidate_recall(spark, sf_dir):
+    """LSH candidate pairs must prune the pair space AND beat random recall
+    of exact top-1 neighbors.
+
+    Collision math: P[collide in ≥1 of 4 tables] = 1-(1-(1-θ/π)⁴)⁴. The
+    synthetic embeddings are unclustered — top-1 cosines sit near 0.35
+    (θ≈70°, per-plane agreement only 0.61), giving expected recall ≈0.45
+    while random pairs collide at ≈0.23. This is sign-LSH's worst case;
+    clustered real embeddings (cos ≥0.8 near-dups, the dedup use case) sit
+    on the ≈0.97-recall end of the same curve. We assert the measured recall
+    stays clearly above the random-collision floor."""
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["q_similarity_lsh"](spark, sf_dir).collect()
+    }
+    all_pairs = n * (n - 1) / 2
+    collision_rate = len(pairs) / all_pairs
+    assert 0 < collision_rate < 0.35  # real pruning
+    top1 = {
+        tuple(sorted((r["query_id"], r["neighbor_id"])))
+        for r in QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    recalled = sum(1 for p in top1 if p in pairs)
+    recall = recalled / len(top1)
+    assert recall >= collision_rate + 0.05, (
+        f"recall {recall:.2f} not above collision floor {collision_rate:.2f}"
+    )
 
 
 def test_salted_agg_matches_plain(spark, sf_dir):
