@@ -40,7 +40,18 @@ def main() -> None:
 
     import __spark_entry__ as contract
 
-    spark = get_spark(app_name="finegourmet_bench")
+    # local-bench override: the sf0.1 inputs are single ~1-10 MB parquet
+    # files, which the default 128 MB split size turns into 1-3 scan tasks on
+    # 32 cores; smaller splits parallelize the scans (~10% on scan-heavy
+    # queries). On a real cluster files exceed the default split size and
+    # these knobs stay at their cluster-appropriate defaults (session.py).
+    spark = get_spark(
+        app_name="finegourmet_bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
     queries = contract.queries()
 
     timings: dict[str, float] = {}

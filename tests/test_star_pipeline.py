@@ -174,3 +174,25 @@ def test_backfill_replaces_only_target_month(spark, result, tmp_path_factory):
     again = read_star(spark, out)["Fact_Sales"]
     assert again.filter(F.col("Sale_Month") == "2024-08").count() == 1
     assert again.filter(F.col("Sale_Month") != "2024-08").count() == n_before - n_aug_before
+
+
+def test_jdbc_mirror_roundtrip(spark, result):
+    """Real JDBC sink (S6): mirror the star to an embedded Derby database and
+    read it back through spark.read.jdbc — proves the write path end-to-end
+    without a MySQL server (the JDBC URL/driver are parameters; see
+    star/load.py::mirror_to_jdbc)."""
+    from finegourmet_spark.star.load import mirror_to_jdbc
+
+    url = "jdbc:derby:memory:startest;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    mirror_to_jdbc(result.star, url, props)
+    back = spark.read.jdbc(url, "Fact_Sales", properties=props)
+    assert back.count() == result.star["Fact_Sales"].count()
+    assert set(c.upper() for c in back.columns) == {
+        "SALE_ID", "QUANTITY", "PRICE", "TYPE", "DATE",
+        "FK_CLIENT_ID", "FK_PRODUCT_ID", "FK_STORE_ID",
+    }
+    # idempotent: mirroring again must not duplicate rows (overwrite, not
+    # the reference's blind append — SURVEY.md §3.3.4)
+    mirror_to_jdbc(result.star, url, props)
+    assert spark.read.jdbc(url, "Fact_Sales", properties=props).count() == back.count()
