@@ -143,6 +143,44 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs from the
+    coarse cell (label) bucket join, exact cosine filter at θ-threshold —
+    the semantic-dedup step of a training-data pipeline (near-identical
+    passages with different surface forms). Same O(N²/cells) shape as
+    q_similarity_ivf; at 100 TB the cells come from a trained quantizer."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
 N_PLANES = 16  # 4 tables × 4 sign bits
 N_TABLES = 4
 BITS_PER_TABLE = N_PLANES // N_TABLES

@@ -161,6 +161,79 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tokenize_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')[1] AS first_piece
+    FROM documents
+    """,
+)
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    tokenizer (letter runs / digit runs / single non-alnum pieces — the
+    pre-tokenization split most BPE vocabularies assume). Both JVM-side
+    regexp engines; counts feed corpus cost estimates at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.element_at(pieces, 1).alias("first_piece"),
+    )
+
+
+@query(
+    "q_hypertable_rollup",
+    oracle="""
+    WITH minute_agg AS (
+      SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS minute_start,
+             event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS val
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT CAST(time_bucket(INTERVAL '1 hour', minute_start) AS TIMESTAMP) AS hour_start,
+           event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM minute_agg
+    GROUP BY 1, 2
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute partials →
+    hourly rollup, re-aggregating the PARTIALS (counts and decimal sums are
+    associative) rather than rescanning raw events. At 100 TB the minute
+    layer is a materialized table and every coarser resolution derives from
+    it — this query is the derivation plan."""
+    from pyspark.sql import functions as _F
+
+    e = t(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(_F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            _F.count("*").alias("n"),
+            _F.sum(_F.col("value").cast("decimal(18,4)")).alias("val"),
+        )
+        .select(_F.col("w.start").alias("minute_start"), "event_type", "n", "val")
+    )
+    return (
+        minute.groupBy(
+            _F.window("minute_start", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            _F.sum("n").alias("n_events"),
+            _F.sum("val").cast("double").alias("total_value"),
+        )
+        .select(_F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
     "q_doc_fingerprint",
     oracle="""
     SELECT doc_id,

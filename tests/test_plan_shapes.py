@@ -82,3 +82,32 @@ def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
     assert "text" in read_line  # text IS read...
     # ...but the exchange partitions on the 16-byte hash, not the text column
     assert "hashpartitioning(content_hash" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Identically-bucketed tables join with ZERO Exchange — the write-time
+    shuffle investment that big recurring joins amortize at 100 TB."""
+    from finegourmet_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{wh}'")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        ).withColumnRenamed("o_orderkey", "l_orderkey")
+        write_bucketed(li, "bdb.lineitem_b", ["l_orderkey"], 8)
+        write_bucketed(o, "bdb.orders_b", ["l_orderkey"], 8)
+
+        joined = spark.table("bdb.lineitem_b").hint("merge").join(
+            spark.table("bdb.orders_b"), ["l_orderkey"]
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket-local merge, no shuffle
+        # and the result is right
+        assert joined.count() == li.join(o, "l_orderkey").count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
