@@ -738,6 +738,39 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_union_missing_cols",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_acctbal AS balance, NULL AS region_hint
+    FROM customer WHERE c_acctbal > 9500
+    UNION ALL
+    SELECT n_nationkey AS entity_key, NULL AS balance, n_regionkey AS region_hint
+    FROM nation
+    """,
+)
+def q_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): the ref's U1 union of frames
+    with different column sets — absent columns null-padded by NAME, not by
+    position (etl/extract.py:88-92, etl/transform.py:332)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("entity_key"),
+        F.col("n_regionkey").alias("region_hint"),
+    )
+    return c.unionByName(n, allowMissingColumns=True).select(
+        "entity_key",
+        "balance",
+        F.col("region_hint").cast("int").alias("region_hint"),
+    )
+
+
+@query(
     "q_intersect",
     oracle="""
     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
@@ -766,7 +799,7 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently — both surfaces supported)."""
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o.distinct()).distinct()
+    return c.subtract(o)
 
 
 @query(
