@@ -137,3 +137,35 @@ def test_stateful_user_totals(spark, tmp_path):
     got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
     assert got[1] == (3, 7.0)  # events 1,2,4
     assert got[2] == (2, 6.0)  # dup event counted twice pre-dedup
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """Restarting a checkpointed stream resumes from its offsets: the second
+    run reads ONLY files that arrived after the first run — dedup state
+    (dropDuplicates on event_id) also survives the restart, so a duplicate
+    arriving in batch 2 of an id seen in batch 1 is dropped."""
+    src_dir = str(tmp_path / "cp_events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(src_dir, EVENTS[:2])  # ids 1, 2
+
+    def run_once():
+        q = (
+            stream_dedup(read_event_stream(spark, src_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    # second drop: one NEW event + a REPLAY of event_id 1 (same ts) in a new file
+    _write_events(src_dir, [EVENTS[4], EVENTS[0]])
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # replayed id 1 dropped by recovered dedup state
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 4]
