@@ -508,6 +508,100 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sx} AS sum_x,
+           {sxx} AS sum_xx,
+           ({sxx} - {sx} * {sx} / COUNT(*)) / (COUNT(*) - 1) AS variance,
+           sqrt(({sxx} - {sx} * {sx} / COUNT(*)) / (COUNT(*) - 1)) AS stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """.format(
+        sx="CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)",
+        sxx=(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)))"
+            " AS DOUBLE)"
+        ),
+    ),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance/stddev) from exact decimal moments.
+
+    Built-in stddev/var use merge-order-dependent FP accumulation
+    (nondeterministic across partitionings — unusable for reproducible
+    pipelines); deriving them from exact Σx and Σx² gives bit-stable results
+    at any cluster size, in the same fixed IEEE expression both engines
+    evaluate."""
+    li = t(spark, sf_dir, "lineitem")
+    sx = F.sum(dec("l_quantity")).cast("double")
+    sxx = F.sum(dec("l_quantity") * dec("l_quantity")).cast("double")
+    n = F.count("*")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        sx.alias("sum_x"),
+        sxx.alias("sum_xx"),
+        var.alias("variance"),
+        F.sqrt(var).alias("stddev"),
+    )
+
+
+@query(
+    "q_agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (sort-based, so deterministic — unlike FP sums):
+    continuous (interpolated) and discrete variants. The exact form is the
+    correctness anchor for q_agg_approx's sketches."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)").alias(
+            "median_qty_disc"
+        ),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT {avg} FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """.format(avg=SQL_DAVG("i.o_totalprice")),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders > 2× their customer's average) via
+    the SQL API — Catalyst de-correlates it into an aggregate + join, the
+    planning path subqueries exercise that raw DataFrame code doesn't."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_sq o
+        WHERE o.o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(i.o_totalprice)
+            FROM orders_sq i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 @query("q_agg_approx")  # rows-only: sketch internals differ between engines
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB posture: HLL++ count-distinct and

@@ -233,6 +233,76 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 20
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           array_to_string(tk[(i * {CHUNK_TOKENS} + 1):((i + 1) * {CHUNK_TOKENS})], ' ')
+             AS chunk_text,
+           least({CHUNK_TOKENS}, len(tk) - i * {CHUNK_TOKENS}) AS n_tokens
+    FROM toks, unnest(range(0, CAST(ceil(len(tk) / {CHUNK_TOKENS}.0) AS BIGINT))) AS u(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — the context-window prep step of a training-data
+    pipeline: fixed-size token windows exploded to (doc_id, chunk_id,
+    chunk_text) rows. Collection-level slice per chunk (no per-element
+    lambdas — see ARCHITECTURE.md §6); chunking is a pure projection +
+    generate, no shuffle at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("bigint")
+    chunked = d.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(
+            F.slice(F.col("tk"), F.col("chunk_id") * CHUNK_TOKENS + 1, F.lit(CHUNK_TOKENS)),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("bigint"),
+            F.size("tk") - F.col("chunk_id") * CHUNK_TOKENS,
+        ).alias("n_tokens"),
+    )
+
+
+@query(
+    "q_split_train_eval",
+    oracle="""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE doc_id % 10 < 8) AS n_train,
+           COUNT(*) FILTER (WHERE doc_id % 10 IN (8)) AS n_val,
+           COUNT(*) FILTER (WHERE doc_id % 10 IN (9)) AS n_test
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by key arithmetic (80/10/10):
+    membership is a pure function of the stable doc key, so the split is
+    identical on every run, cluster, and engine — the reproducibility
+    property random sampling (engine-seeded RNGs) can't give across systems."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.col("doc_id") % 10
+    return d.groupBy("lang").agg(
+        F.count(F.when(bucket < 8, 1)).alias("n_train"),
+        F.count(F.when(bucket == 8, 1)).alias("n_val"),
+        F.count(F.when(bucket == 9, 1)).alias("n_test"),
+    )
+
+
 @query(
     "q_doc_fingerprint",
     oracle="""
