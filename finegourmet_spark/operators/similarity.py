@@ -80,18 +80,22 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k via the rank window. This is the exact baseline an ANN variant
     (q_similarity_ivf) is measured against."""
     e = t(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # norms precomputed per VECTOR (projections below the join are evaluated
+    # once per input row, not per pair — the join is a CollapseProject
+    # barrier); cos = dot/(norm_q*norm_e) is the same IEEE expression as the
+    # per-pair form, so values stay bit-identical to the oracle
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qnorm"),
     )
-    scored = (
-        t(spark, sf_dir, "embeddings")
-        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+    corpus = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("enorm"))
+    scored = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("enorm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
@@ -126,18 +130,20 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qnorm"),
     )
-    scored = (
-        t(spark, sf_dir, "embeddings")
-        .join(
-            F.broadcast(q),
-            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+    corpus = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("enorm")
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("enorm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
@@ -161,7 +167,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantic-dedup step of a training-data pipeline (near-identical
     passages with different surface forms). Same O(N²/cells) shape as
     q_similarity_ivf; at 100 TB the cells come from a trained quantizer."""
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm")
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -174,7 +182,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.vnorm") * F.col("b.vnorm")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
