@@ -214,6 +214,42 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+@query("q_dedup_minhash_ml")  # rows-only: ml hash coefficients are seeded internally
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml-native MinHash: HashingTF (shingles → sparse counts) →
+    MinHashLSH.approxSimilarityJoin at Jaccard-distance ≤ 0.8 — the library
+    path beside the custom relational MinHash (q_dedup_minhash), kept for
+    parity with spark.ml pipelines and as a cross-check of the custom
+    implementation (both must recall the same near-dup pairs —
+    tests/test_llm_ops.py)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", shingles(normalized_text()).alias("sh")
+    )
+    # sub-shingle docs get a sentinel shingle instead of a filter: MinHashLSH
+    # rejects all-zero vectors, and Catalyst gives no filter-before-UDF
+    # guarantee (the LSH hash UDF can run before a size() filter). Empty docs
+    # then only ever pair with other empty docs — the correct semantics.
+    d = d.select(
+        "doc_id",
+        F.when(F.size("sh") > 0, F.col("sh")).otherwise(F.array(F.lit("\x00empty"))).alias("sh"),
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(d)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )
+
+
 @query("q_dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) per document: weighted majority vote per bit over

@@ -68,6 +68,44 @@ def read_star(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def merge_by_key(
+    spark: SparkSession,
+    out_dir: str,
+    delta: DataFrame,
+    key: str = "Sale_ID",
+    name: str = "Fact_Sales",
+) -> None:
+    """Keyed MERGE (upsert) into the partitioned parquet fact: rows in
+    ``delta`` replace same-key rows, new keys append — all scoped to the
+    months the delta touches.
+
+    Plan shape: read ONLY the affected partitions (partition filter on
+    Sale_Month), anti-join out the superseded keys, union the delta, rewrite
+    just those partitions via dynamic overwrite. At 100 TB the cost is
+    proportional to the touched months, never the table. (On Delta/Iceberg
+    this is the engine's MERGE INTO; this is the same algorithm expressed on
+    plain parquet.)"""
+    delta = delta.withColumn("Sale_Month", F.date_format("Date", "yyyy-MM"))
+    months = [r["Sale_Month"] for r in delta.select("Sale_Month").distinct().collect()]
+    existing = spark.read.parquet(f"{out_dir}/{name}").filter(
+        F.col("Sale_Month").isin(months)
+    )
+    keys = delta.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(delta)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("Sale_Month")
+            .write.mode("overwrite")
+            .partitionBy("Sale_Month")
+            .parquet(f"{out_dir}/{name}")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def mirror_to_jdbc(
     star: dict[str, DataFrame], url: str, properties: dict[str, str]
 ) -> None:

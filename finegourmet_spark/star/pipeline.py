@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from finegourmet_spark.star import conform, dims, fact, sources
 from finegourmet_spark.star.load import write_star
@@ -19,6 +20,14 @@ from finegourmet_spark.star.load import write_star
 class PipelineResult:
     star: dict[str, DataFrame]
     audits: dict[str, DataFrame] = field(default_factory=dict)
+    observations: dict[str, Observation] = field(default_factory=dict)
+
+    def metrics(self) -> dict[str, dict]:
+        """Observed data-quality metrics, available after any action has
+        materialized the fact (e.g. write_star). Collected by the Observation
+        API DURING the main pass — zero extra scans, unlike the reference's
+        eight count()/show() re-executions (SURVEY.md §3.1)."""
+        return {name: obs.get for name, obs in self.observations.items()}
 
 
 def run_pipeline(
@@ -47,6 +56,17 @@ def run_pipeline(
     dim_client = dims.build_dim_client(c_sfcc, c_cegid).cache()
     fact_sales = fact.build_fact_sales(c_sfcc, c_cegid, dim_client, dim_product)
 
+    # in-flight data-quality metrics, measured during whatever action first
+    # materializes the fact (no extra scan)
+    fact_obs = Observation("fact_quality")
+    fact_sales = fact_sales.observe(
+        fact_obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("FK_Product_ID").isNull().cast("long")).alias("n_orphan_product_fk"),
+        F.sum(F.col("FK_Client_ID").isNull().cast("long")).alias("n_anonymous_sales"),
+        F.sum(F.col("Price").isNull().cast("long")).alias("n_null_prices"),
+    )
+
     star = {
         "Dim_Client": dim_client,
         "Dim_Product": dim_product,
@@ -59,4 +79,6 @@ def run_pipeline(
     }
     if out_dir:
         write_star(star, out_dir)
-    return PipelineResult(star=star, audits=audits)
+    return PipelineResult(
+        star=star, audits=audits, observations={"fact_quality": fact_obs}
+    )

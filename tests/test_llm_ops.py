@@ -109,3 +109,15 @@ def test_bruteforce_topk_is_exact_ceiling(spark, sf_dir):
     }
     for q, s in ivf.items():
         assert bf[q] >= s - 1e-9
+
+
+def test_minhash_ml_agrees_with_custom(spark, corpus_dir):
+    """The spark.ml MinHashLSH path must recall the same known near-dup pairs
+    as the custom relational MinHash."""
+    ml_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_dedup_minhash_ml"](spark, corpus_dir).collect()
+    }
+    assert (0, 2) in ml_pairs  # identical docs
+    assert (0, 1) in ml_pairs and (1, 2) in ml_pairs  # near-dups
+    assert (0, 3) not in ml_pairs  # unrelated

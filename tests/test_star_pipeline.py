@@ -196,3 +196,52 @@ def test_jdbc_mirror_roundtrip(spark, result):
     # the reference's blind append — SURVEY.md §3.3.4)
     mirror_to_jdbc(result.star, url, props)
     assert spark.read.jdbc(url, "Fact_Sales", properties=props).count() == back.count()
+
+
+def test_merge_by_key_upserts_within_month(spark, result, tmp_path_factory):
+    """Keyed MERGE: an updated row replaces its key, a new key appends, other
+    months untouched."""
+    from pyspark.sql import functions as F
+
+    from finegourmet_spark.star.load import merge_by_key, read_star, write_star
+
+    out = str(tmp_path_factory.mktemp("star_merge"))
+    write_star(result.star, out)
+    fact = result.star["Fact_Sales"]
+    n_before = fact.count()
+
+    updated = (
+        fact.filter(F.col("Sale_ID") == "PA01240100001")
+        .drop("Sale_Month")
+        .withColumn("Price", F.lit(99.99).cast("decimal(10,2)"))
+    )
+    new_row = (
+        fact.filter(F.col("Sale_ID") == "PA01240100001")
+        .drop("Sale_Month")
+        .withColumn("Sale_ID", F.lit("PA01240100999"))
+    )
+    merge_by_key(spark, out, updated.unionByName(new_row))
+
+    back = read_star(spark, out)["Fact_Sales"]
+    assert back.count() == n_before + 1
+    assert float(
+        back.filter(F.col("Sale_ID") == "PA01240100001").collect()[0]["Price"]
+    ) == 99.99
+    assert back.filter(F.col("Sale_ID") == "PA01240100999").count() == 1
+    # untouched month intact
+    assert back.filter(F.col("Sale_Month") == "2024-08").count() == 2
+
+
+def test_observation_metrics_from_single_pass(spark, tmp_path_factory):
+    """The Observation API collects fact-quality metrics during the write —
+    no extra scans (vs the reference's 8 eager re-executions)."""
+    from finegourmet_spark.star.pipeline import run_pipeline
+    from tests.fixtures_gen import write_fixtures
+
+    root = str(tmp_path_factory.mktemp("delic_obs"))
+    out = str(tmp_path_factory.mktemp("star_obs"))
+    res = run_pipeline(spark, **write_fixtures(root), out_dir=out)
+    m = res.metrics()["fact_quality"]
+    assert m["n_rows"] == 12
+    assert m["n_orphan_product_fk"] == 1  # Produit Fantome
+    assert m["n_null_prices"] == 0  # the "x" price was repaired
