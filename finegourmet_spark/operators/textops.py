@@ -278,6 +278,63 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY 1
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are laid out in a
+    stable order and assigned to fixed-token bins by their running token
+    offset (bin = ⌊start_offset / budget⌋) — the streaming-friendly
+    approximation of bin packing that needs ONE window pass, no iterative
+    solver. The global cumulative sum is the reference formulation for
+    oracle parity; at 100 TB the same computation runs hierarchically
+    (per-partition sums → offsets, the zipWithIndex pattern of
+    q_surrogate_keys_scalable)."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    toks = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        packed.select(
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(PACK_BUDGET))
+            .cast("bigint")
+            .alias("bin_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 @query(
     "q_split_train_eval",
     oracle="""

@@ -169,3 +169,56 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3  # replayed id 1 dropped by recovered dedup state
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 4]
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Late-data semantics end-to-end: after batch 1 advances the watermark
+    past a window, a batch-2 event falling in that window is DROPPED (its
+    finalized window never updates), while an in-time batch-2 event is
+    aggregated normally."""
+    src_dir = str(tmp_path / "late_events")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    _write_events(
+        src_dir,
+        [
+            {"event_id": 10, "ts": "2024-01-01T00:05:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 11, "ts": "2024-01-01T02:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+        ],
+    )
+
+    def run_once():
+        q = (
+            stream_tumbling(read_event_stream(spark, src_dir), watermark="20 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # watermark ends at 02:00-20min = 01:40 → 00:00 window finalized
+    first = {str(r["window_start"]): r["n_events"] for r in spark.read.parquet(out).collect()}
+    assert first.get("2024-01-01 00:00:00") == 1
+
+    _write_events(
+        src_dir,
+        [
+            # LATE: belongs to the finalized 00:00 window, older than watermark
+            {"event_id": 12, "ts": "2024-01-01T00:07:00Z", "user_id": 2, "event_type": "click", "value": 1.0},
+            # in-time event in a fresh window
+            {"event_id": 13, "ts": "2024-01-01T03:00:00Z", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    agg = {}
+    for r in rows:
+        k = str(r["window_start"])
+        agg[k] = agg.get(k, 0) + r["n_events"]
+    # the late event did NOT reopen or re-emit the 00:00 window
+    assert agg["2024-01-01 00:00:00"] == 1
+    # the in-time 02:00 window was finalized by the 03:00 event's watermark
+    assert agg.get("2024-01-01 02:00:00") == 1
