@@ -66,6 +66,48 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_STRIDE_BYTES = 100
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    )
+    SELECT doc_id,
+           i AS frame_no,
+           i * {FRAME_STRIDE_BYTES} AS frame_offset,
+           least({FRAME_STRIDE_BYTES}, n_bytes - i * {FRAME_STRIDE_BYTES}) AS frame_bytes
+    FROM assets, unnest(range(0, CAST(ceil(n_bytes / {FRAME_STRIDE_BYTES}.0) AS BIGINT))) AS u(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one asset row explodes into per-frame rows at a fixed
+    stride — the video/audio chunking shape (a real decoder yields frames
+    from timestamps; the stride here is byte-based so the oracle can verify
+    the explode/offset arithmetic). Downstream per-frame decode runs as
+    q_multimodal_features does: mapInPandas over the frame rows, bounded
+    batches, no shuffle."""
+    d = with_binary_payload(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.octet_length("payload").cast("bigint").alias("n_bytes")
+    )
+    n_frames = F.ceil(F.col("n_bytes") / F.lit(float(FRAME_STRIDE_BYTES))).cast("bigint")
+    return d.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        (F.col("frame_no") * FRAME_STRIDE_BYTES).alias("frame_offset"),
+        F.least(
+            F.lit(FRAME_STRIDE_BYTES).cast("bigint"),
+            F.col("n_bytes") - F.col("frame_no") * FRAME_STRIDE_BYTES,
+        ).alias("frame_bytes"),
+    )
+
+
 @query(
     "q_multimodal_features",
     oracle="""

@@ -233,6 +233,46 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+URL_RE = r"https?://[^ ]+"
+DIGITS_RE = r"[0-9][0-9 .-]{6,}[0-9]"
+
+
+@query(
+    "q_text_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{URL_RE}', '<URL>', 'g'),
+             '{DIGITS_RE}', '<NUM>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{URL_RE}')) AS n_urls
+    FROM documents
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: emails / URLs / long digit runs
+    replaced with typed placeholders, plus per-doc detection counts —
+    JVM-side regexp only (generalizes ref X2-X4 normalization to corpus
+    redaction)."""
+    d = t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        DIGITS_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0)).cast("bigint").alias("n_urls"),
+    )
+
+
 CHUNK_TOKENS = 20
 
 
