@@ -117,3 +117,35 @@ def test_client_ranking(star, ddb):
             FROM Fact_Sales f JOIN Dim_Client c ON f.FK_Client_ID = c.Client_ID
             WHERE c.Last_Name IS NOT NULL GROUP BY c.First_Name, c.Last_Name""",
     )
+
+
+def test_sql_views_match_dataframe_analytics(spark, star):
+    """The SQL catalog (BI-tool surface) and the DataFrame functions are the
+    same queries: identical results on every dashboard entry."""
+    from finegourmet_spark.star import sql_views
+
+    sql_views.register_star_views(spark, star)
+    df_fns = {
+        "total_revenue": lambda: analytics.total_revenue(star["Fact_Sales"]),
+        "revenue_by_type": lambda: analytics.revenue_by_type(star["Fact_Sales"]),
+        "revenue_by_month": lambda: analytics.revenue_by_month(star["Fact_Sales"]),
+        "revenue_by_category": lambda: analytics.revenue_by_category(
+            star["Fact_Sales"], star["Dim_Product"]
+        ),
+        "top_products": lambda: analytics.top_products(
+            star["Fact_Sales"], star["Dim_Product"], 10
+        ),
+        "store_share": lambda: analytics.store_share(star["Fact_Sales"], star["Dim_Store"]),
+        "revenue_by_store_address": lambda: analytics.revenue_by_store_address(
+            star["Fact_Sales"], star["Dim_Store"]
+        ),
+        "client_ranking": lambda: analytics.client_ranking(
+            star["Fact_Sales"], star["Dim_Client"]
+        ),
+    }
+    for name, fn in df_fns.items():
+        sql_df = sql_views.run_analytics_sql(spark, name)
+        a = canonical_rows(sql_df.columns, [tuple(r) for r in sql_df.collect()])
+        dfr = fn()
+        b = canonical_rows(dfr.columns, [tuple(r) for r in dfr.collect()])
+        assert a == b, f"SQL vs DataFrame mismatch for {name}"
