@@ -1081,19 +1081,26 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_round
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_round,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_parsed,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
     FROM events
     """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction on events.props (ref S3 reads JSON as a source;
-    the engine also processes JSON-in-a-column: get_json_object + from_json)."""
+    """JSON-in-a-column surface (ref S3 reads JSON files; the engine also
+    processes embedded JSON): get_json_object path extraction, from_json to
+    a typed struct, to_json round-trip (compact serialization in both
+    engines)."""
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
+    parsed = F.from_json("props", "k bigint")
     return e.select(
         "event_id",
         k.alias("k_value"),
         ((k % 10) == 0).alias("k_round"),
+        parsed["k"].alias("k_parsed"),
+        F.to_json(parsed).alias("rebuilt"),
     )
 
 
