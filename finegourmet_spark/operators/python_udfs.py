@@ -40,18 +40,33 @@ def char_per_token_udf(text: pd.Series) -> pd.Series:
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
-           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+           CASE WHEN length(text) < 100 THEN 'short'
+                WHEN length(text) < 300 THEN 'medium'
+                ELSE 'long' END AS len_bucket
     FROM documents
     """,
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar Pandas UDF (Arrow-vectorized) with a declarative-SQL oracle
-    twin — the correctness pattern for any Python hot-path escape hatch."""
+    """Python UDF surface, both tiers against one declarative oracle:
+    Arrow-vectorized pandas UDFs for the counts/ratios (the ONLY acceptable
+    hot-path form) plus one row-at-a-time ``@udf`` (len_bucket) kept as the
+    reference anti-pattern — same semantics, ~10-100× slower per the serde
+    cost; its presence documents the surface, its docstring is the warning."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    @udf(StringType())
+    def len_bucket_udf(text: str) -> str:
+        n = len(text)
+        return "short" if n < 100 else ("medium" if n < 300 else "long")
+
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count_udf(F.col("text")).alias("n_tokens"),
         char_per_token_udf(F.col("text")).alias("chars_per_token"),
+        len_bucket_udf(F.col("text")).alias("len_bucket"),
     )
 
 
