@@ -121,3 +121,18 @@ def test_minhash_ml_agrees_with_custom(spark, corpus_dir):
     assert (0, 2) in ml_pairs  # identical docs
     assert (0, 1) in ml_pairs and (1, 2) in ml_pairs  # near-dups
     assert (0, 3) not in ml_pairs  # unrelated
+
+
+def test_multimodal_decode_stub_contract(spark, sf_dir):
+    """The decode stub raises NotImplementedError (no codecs in this
+    container) while the surrounding plumbing stays fully functional."""
+    import pytest as _pytest
+
+    from finegourmet_spark.operators.multimodal import decode_image, with_binary_payload
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    d = with_binary_payload(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    row = d.limit(1).collect()[0]
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["mime"] == "text/plain"
