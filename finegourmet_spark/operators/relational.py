@@ -293,6 +293,45 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (cartesian) of two small dims — the one join type
+    that must stay opt-in (`crossJoin`) at scale; planned as a broadcast
+    nested loop here."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderstatus <> 'F'
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through the SQL API — Catalyst rewrites it to a left-semi
+    join (same plan family as q_join_semi, different authoring surface)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_in")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_in")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_in
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_in
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_orderstatus <> 'F'
+        """
+    )
+
+
+@query(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
