@@ -641,6 +641,42 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    ), ranked AS (
+      SELECT o_custkey, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counted
+    )
+    SELECT o_custkey, o_orderpriority AS modal_priority, cnt AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per key: most frequent value with an explicit
+    smallest-value tie-break (built-in `mode()` picks an arbitrary value on
+    ties in both engines — unusable under the engine's reproducibility
+    policy). Count → rank → take: two hash shuffles on small (key, value)
+    pairs."""
+    o = t(spark, sf_dir, "orders")
+    counted = o.groupBy("o_custkey", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("cnt").desc(), F.col("o_orderpriority"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )
+
+
 @query("q_agg_approx")  # rows-only: sketch internals differ between engines
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB posture: HLL++ count-distinct and
@@ -776,7 +812,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT *, row_number() OVER (PARTITION BY l_orderkey
-                                   ORDER BY l_shipdate, l_linenumber) AS rn
+                                   ORDER BY l_shipdate, l_linenumber, l_quantity) AS rn
       FROM lineitem
     )
     SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
@@ -785,10 +821,15 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup with an explicit survivor rule (earliest shipdate, then
-    linenumber) — replaces the ref's arbitrary-survivor dropDuplicates
-    (etl/transform.py:98,296) and its W1 suffix workaround."""
+    linenumber, then quantity) — replaces the ref's arbitrary-survivor
+    dropDuplicates (etl/transform.py:98,296) and its W1 suffix workaround.
+
+    The ordering covers EVERY output column: the testdata generator emits
+    duplicate (orderkey, linenumber, shipdate) rows at sf0.1, so any rows
+    still tying after the full ordering are identical in the output —
+    deterministic by construction, at every scale."""
     li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber", "l_quantity")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
