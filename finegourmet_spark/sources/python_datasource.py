@@ -17,7 +17,13 @@ Register once per session:
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -91,5 +97,42 @@ class SyntheticEventsSource(DataSource):
         return SyntheticEventsReader(self.options)
 
 
+class JsonLinesWriter(DataSourceWriter):
+    """Sink half of the connector API: each task writes its partition as one
+    JSON-lines file (two-phase: tasks write to unique names and report them
+    in commit messages — the commit/abort hooks are where a transactional
+    sink would finalize or clean up)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+
+class JsonLinesSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlines_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options)
+
+
 def register(spark: SparkSession) -> None:
     spark.dataSource.register(SyntheticEventsSource)
+    spark.dataSource.register(JsonLinesSink)

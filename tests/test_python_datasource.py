@@ -49,3 +49,17 @@ def test_composes_with_engine_operators(spark):
     )
     assert agg.count() > 0
     assert agg.agg(F.sum("n")).collect()[0][0] == 2000
+
+
+def test_jsonlines_sink_roundtrip(spark, tmp_path):
+    """Writer half of the connector API: per-partition JSON-lines files,
+    readable back with the standard json reader."""
+    out = str(tmp_path / "sink_out")
+    df = _read(spark, 400, 4)
+    df.write.format("jsonlines_sink").option("path", out).mode("append").save()
+    back = spark.read.json(f"{out}/*.jsonl")
+    assert back.count() == 400
+    assert back.select("event_id").distinct().count() == 400
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 4  # one file per partition
