@@ -23,16 +23,21 @@ from finegourmet_spark.sources.testdata import load_table as t
 @pandas_udf(LongType())
 def token_count_udf(text: pd.Series) -> pd.Series:
     """Vectorized token count (split on single space, keeping empties —
-    exactly `len(string_split(text,' '))`)."""
-    return text.str.split(" ").map(len).astype("int64")
+    exactly `len(string_split(text,' '))`). NULL in → NULL out, matching the
+    declarative twin (a bare .map(len) would throw on the NaN a null
+    becomes)."""
+    return text.str.split(" ").map(lambda t: len(t) if isinstance(t, list) else None).astype(
+        "Int64"
+    )
 
 
 @pandas_udf(DoubleType())
 def char_per_token_udf(text: pd.Series) -> pd.Series:
-    """chars / tokens as one IEEE double division (engine-portable)."""
-    n_chars = text.str.len().astype("float64")
-    n_toks = text.str.split(" ").map(len).astype("float64")
-    return n_chars / n_toks
+    """chars / tokens as one IEEE double division (engine-portable);
+    null-propagating like the SQL expression."""
+    n_chars = text.str.len()
+    n_toks = text.str.split(" ").map(lambda t: len(t) if isinstance(t, list) else None)
+    return (n_chars.astype("float64") / n_toks.astype("float64")).where(text.notna())
 
 
 @query(
@@ -57,7 +62,9 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import StringType
 
     @udf(StringType())
-    def len_bucket_udf(text: str) -> str:
+    def len_bucket_udf(text: str | None) -> str | None:
+        if text is None:
+            return None
         n = len(text)
         return "short" if n < 100 else ("medium" if n < 300 else "long")
 

@@ -210,26 +210,22 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative) rather than rescanning raw events. At 100 TB the minute
     layer is a materialized table and every coarser resolution derives from
     it — this query is the derivation plan."""
-    from pyspark.sql import functions as _F
-
     e = t(spark, sf_dir, "events")
     minute = (
-        e.groupBy(_F.window("ts", "1 minute").alias("w"), "event_type")
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(
-            _F.count("*").alias("n"),
-            _F.sum(_F.col("value").cast("decimal(18,4)")).alias("val"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("val"),
         )
-        .select(_F.col("w.start").alias("minute_start"), "event_type", "n", "val")
+        .select(F.col("w.start").alias("minute_start"), "event_type", "n", "val")
     )
     return (
-        minute.groupBy(
-            _F.window("minute_start", "1 hour").alias("w"), "event_type"
-        )
+        minute.groupBy(F.window("minute_start", "1 hour").alias("w"), "event_type")
         .agg(
-            _F.sum("n").alias("n_events"),
-            _F.sum("val").cast("double").alias("total_value"),
+            F.sum("n").alias("n_events"),
+            F.sum("val").cast("double").alias("total_value"),
         )
-        .select(_F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
     )
 
 
@@ -414,9 +410,13 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content hash + order-insensitive
     bag-of-words fingerprint (md5 of the sorted distinct vocabulary — robust
-    to token reordering, the cheap near-dup signal before MinHash)."""
+    to token reordering, the cheap near-dup signal before MinHash). Shares
+    the canonical normalization with the dedup family so content_hash here
+    equals q_dedup_exact's content_hash for the same document."""
+    from finegourmet_spark.operators.dedup import normalized_text
+
     d = t(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
+    norm = normalized_text()
     bow = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " "))
     return d.select(
         "doc_id",

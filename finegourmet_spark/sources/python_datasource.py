@@ -16,6 +16,8 @@ Register once per session:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
@@ -97,11 +99,19 @@ class SyntheticEventsSource(DataSource):
         return SyntheticEventsReader(self.options)
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str = ""
+    final: str = ""
+
+
 class JsonLinesWriter(DataSourceWriter):
-    """Sink half of the connector API: each task writes its partition as one
-    JSON-lines file (two-phase: tasks write to unique names and report them
-    in commit messages — the commit/abort hooks are where a transactional
-    sink would finalize or clean up)."""
+    """Sink half of the connector API, genuinely two-phase: tasks stage
+    their partition to a hidden ``.staging-*`` name and report it in the
+    commit message; only the driver-side commit() renames staged files to
+    their final names, and abort() deletes them — so retried/speculative or
+    failed tasks never leave visible partial output (readers also skip
+    dot-files by convention)."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -115,13 +125,26 @@ class JsonLinesWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(fname, "w") as f:
+        final = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(self.path, f".staging-{final}")
+        with open(staged, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
-        return WriterCommitMessage()
+        return _StagedFile(staged=staged, final=os.path.join(self.path, final))
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.staged:
+                os.rename(m.staged, m.final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
 
 
 class JsonLinesSink(DataSource):

@@ -38,7 +38,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; we read it as long (legacy flag) and truncate ns → µs —
     the same truncation DuckDB applies when casting TIMESTAMP_NS to
-    TIMESTAMP, so both engines see identical µs values."""
+    TIMESTAMP, so both engines see identical µs values.
+
+    NB the ``nanosAsLong`` flag is a SESSION-level conf and stays set after
+    the first events read (restoring it immediately would break the lazy
+    scan's execution): any later read of a DIFFERENT nanos-timestamp parquet
+    in the same session will also see longs. Acceptable for this engine —
+    the testdata has exactly one nanos column — but a mixed-precision lake
+    would need per-read normalization instead."""
     df = _read(spark, sf_dir, name)
     if name == "events":
         from pyspark.sql import functions as F

@@ -93,9 +93,15 @@ def conform_cegid(raw: DataFrame, dim_product: DataFrame) -> DataFrame:
     )
     with_store = repaired.withColumn("FK_Store_ID", derive_store_id(F.col("Sale_ID")))
     # duplicate sale-id disambiguation (ref W1, etl/transform.py:253-261):
-    # deterministic order — earliest transaction, then email as tie-break
+    # deterministic order — earliest transaction first, then enough columns
+    # that the ordering is TOTAL over the row content (rows still tying are
+    # identical), so the suffix assignment is partition-invariant
     w = Window.partitionBy("Sale_ID", "FK_Store_ID").orderBy(
-        F.col("Transaction_Date").asc_nulls_last(), F.col("Email").asc_nulls_last()
+        F.col("Transaction_Date").asc_nulls_last(),
+        F.col("Email").asc_nulls_last(),
+        F.col("Product_Name").asc_nulls_last(),
+        F.col("Price").asc_nulls_last(),
+        F.col("Quantity").asc_nulls_last(),
     )
     return with_store.withColumn(
         "Sale_ID", dedup_suffix(F.col("Sale_ID"), F.row_number().over(w))

@@ -27,7 +27,15 @@ def build_dim_product(raw_products: DataFrame) -> DataFrame:
         F.col("Price").try_cast("double").alias("Price"),
         "_src_file",
     )
-    w = Window.partitionBy("Product_ID").orderBy(F.col("_src_file").desc())
+    # recency = the numeric year prefix of the FILE NAME (2025_... > 2024_...),
+    # not the raw path string — lexicographic path ordering would mis-rank
+    # multi-digit prefixes or files spread across sibling directories
+    file_year = F.regexp_extract(
+        F.element_at(F.split(F.col("_src_file"), "/"), -1), r"^(\d+)", 1
+    ).try_cast("long")
+    w = Window.partitionBy("Product_ID").orderBy(
+        file_year.desc_nulls_last(), F.col("_src_file").desc()
+    )
     return (
         typed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -87,9 +87,14 @@ def merge_by_key(
     plain parquet.)"""
     delta = delta.withColumn("Sale_Month", F.date_format("Date", "yyyy-MM"))
     months = [r["Sale_Month"] for r in delta.select("Sale_Month").distinct().collect()]
-    existing = spark.read.parquet(f"{out_dir}/{name}").filter(
-        F.col("Sale_Month").isin(months)
-    )
+    # NULL months (malformed dates land in the default partition) need an
+    # explicit IS NULL arm — `isin` never matches NULL, which would silently
+    # drop existing null-month rows from `kept` and lose them in the rewrite
+    non_null = [m for m in months if m is not None]
+    month_pred = F.col("Sale_Month").isin(non_null)
+    if None in months:
+        month_pred = month_pred | F.col("Sale_Month").isNull()
+    existing = spark.read.parquet(f"{out_dir}/{name}").filter(month_pred)
     keys = delta.select(key).distinct()
     kept = existing.join(F.broadcast(keys), key, "left_anti")
     merged = kept.unionByName(delta)

@@ -23,10 +23,14 @@ class PipelineResult:
     observations: dict[str, Observation] = field(default_factory=dict)
 
     def metrics(self) -> dict[str, dict]:
-        """Observed data-quality metrics, available after any action has
-        materialized the fact (e.g. write_star). Collected by the Observation
-        API DURING the main pass — zero extra scans, unlike the reference's
-        eight count()/show() re-executions (SURVEY.md §3.1)."""
+        """Observed data-quality metrics. Collected by the Observation API
+        DURING the main pass — zero extra scans, unlike the reference's
+        eight count()/show() re-executions (SURVEY.md §3.1).
+
+        WARNING: ``Observation.get`` BLOCKS until an action has materialized
+        the observed frame. Call this only after ``write_star`` (run_pipeline
+        with ``out_dir``) or any other action on the fact — calling it on a
+        never-materialized pipeline hangs rather than erroring."""
         return {name: obs.get for name, obs in self.observations.items()}
 
 

@@ -202,7 +202,9 @@ def stream_session(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def stream_dedup(events: DataFrame, watermark: str = "20 minutes") -> DataFrame:
-    """Exactly-once event delivery: watermarked dropDuplicates on event_id —
-    state for ids older than the watermark is evicted (bounded state at
+    """Exactly-once event delivery: dedup on event_id ALONE within the
+    watermark horizon — a replay with a re-stamped timestamp is still
+    dropped (plain dropDuplicates(['event_id','ts']) would pass it through).
+    State for ids older than the watermark is evicted (bounded state at
     100 TB/day event volumes)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
