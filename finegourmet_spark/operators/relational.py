@@ -27,7 +27,7 @@ from finegourmet_spark.sources.testdata import load_table as t
     oracle="""
     SELECT l_orderkey AS order_key,
            CAST(l_quantity AS INT) AS qty,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            l_returnflag AS flag,
            CAST(l_shipdate AS DATE) AS ship_date
     FROM lineitem
@@ -36,11 +36,15 @@ from finegourmet_spark.sources.testdata import load_table as t
 def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan + projection + cast + rename. Column pruning reaches the parquet
     scan: only 5 of 11 lineitem columns are read (ref reads 11-col CSVs and
-    keeps ~7 — etl/extract.py:70-86)."""
+    keeps ~7 — etl/extract.py:70-86).
+
+    price_dec proves the decimal cast surface but is emitted as DOUBLE per the
+    repo money policy (functions/money.py): Decimal('103580.80') vs DuckDB's
+    float 103580.8 hash-mismatch even though numerically equal (VERDICT r1 #2)."""
     return t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_quantity").cast("int").alias("qty"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.col("l_returnflag").alias("flag"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
     )
@@ -683,11 +687,25 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     GK-sketch percentiles avoid the exact-distinct shuffle that dominates at
     scale. Sketch values are engine-specific → rows-only driver check; exact
     bounds are asserted in tests/test_approx_and_lsh.py (and the exact
-    anchors live in q_agg_percentile_exact)."""
+    anchors live in q_agg_percentile_exact).
+
+    Percentiles project to scalar price_p50/price_p95 columns — the driver's
+    canonicalizer cannot hash an array<double> cell (VERDICT r1 #3)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 2000).alias("price_p50_p95"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            # one sketch pass; projecting items inside agg() would build the
+            # GK sketch once per output column
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 2000).alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.col("_pcts").getItem(0).alias("price_p50"),
+            F.col("_pcts").getItem(1).alias("price_p95"),
+        )
     )
 
 

@@ -50,8 +50,8 @@ def _sql_occurrences(expr: str, needle: str) -> str:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MIN(length(text)) AS min_chars,
            MAX(length(text)) AS max_chars,
            COUNT(DISTINCT source) AS n_sources
