@@ -32,7 +32,15 @@ def normalize_email(col: Column) -> Column:
     """Lowercase, trim, strip characters outside the email alphabet
     (ref etl/transform.py:61,264,372,393 — applied there in four places and
     *after* grouping, which can desynchronize dim and fact emails; the engine
-    applies this once, upstream of every consumer — SURVEY.md §3.3.2)."""
+    applies this once, upstream of every consumer — SURVEY.md §3.3.2).
+
+    DELIBERATE divergence from the reference: the ref's character class
+    ``[^a-zA-Z0-9._%+-@]+`` contains an accidental ``+-@`` RANGE, so it also
+    preserves , - . / : ; < = > ? — emails containing those characters
+    normalize differently here. This engine escapes the dash
+    (``[...%+\\-@]``), i.e. the alphabet the reference plainly intended —
+    an intentional fix of the malformed class, like the other SURVEY-cited
+    reference-bug fixes (documented for consumers migrating from the ref)."""
     return F.lower(F.trim(F.regexp_replace(col, r"[^a-zA-Z0-9._%+\-@]+", "")))
 
 

@@ -93,10 +93,15 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length("payload").cast("bigint").alias("n_bytes")
     )
     n_frames = F.ceil(F.col("n_bytes") / F.lit(float(FRAME_STRIDE_BYTES))).cast("bigint")
+    # zero-byte payloads: sequence(0, -1) infers step -1 and would emit two
+    # spurious frames (0 and -1) — guard to an empty array (ADVICE r1)
+    frame_nos = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
     return d.select(
         "doc_id",
         "n_bytes",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        F.explode(frame_nos).alias("frame_no"),
     ).select(
         "doc_id",
         "frame_no",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from finegourmet_spark.functions.ids import dense_ids
 from finegourmet_spark.functions.money import SQL_DAVG, SQL_DSUM, davg, dec, dsum
 from finegourmet_spark.operators.registry import query
 from finegourmet_spark.sources.testdata import load_table as t
@@ -1112,28 +1113,23 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_surrogate_keys_scalable",
     oracle="""
-    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_keys,
-           1 AS min_key, COUNT(*) AS max_key
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_name, c_custkey) AS client_sk
     FROM customer
     """,
 )
 def q_surrogate_keys_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe dense surrogate keys: zipWithIndex-style two-phase assignment
-    (per-partition counts → offsets → partition-local index + offset). No
-    global window, no single-task stage; the only cross-node traffic is one
-    tiny count-per-partition collect. Key VALUES are partition-order dependent
-    → the oracle checks the invariants instead: n_keys == n_rows, keys dense
-    in [1, n]."""
+    """Scale-safe dense surrogate keys: two-phase range-partition assignment
+    (functions/ids.py::dense_ids — range shuffle → local sort → per-partition
+    counts → offsets → local row_number). No global window, no single-task
+    stage, fully JVM-side; the only cross-node traffic beyond the shuffles is
+    one metadata-sized count-per-partition collect. Because (c_name,
+    c_custkey) is a total order, the values are deterministic and the oracle
+    is the exact global row_number — same answer as q_surrogate_keys, scale-
+    safe plan."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # two-phase dense id: per-partition offsets computed from partition sizes
-    rdd = c.rdd.zipWithIndex()
-    keyed = rdd.map(lambda pair: (*pair[0], pair[1] + 1))
-    df = spark.createDataFrame(keyed, "c_custkey long, c_name string, client_sk long")
-    return df.agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("client_sk").alias("n_distinct_keys"),
-        F.min("client_sk").cast("int").alias("min_key"),
-        F.max("client_sk").alias("max_key"),
+    return dense_ids(c, ["c_name", "c_custkey"], "client_sk").select(
+        "c_custkey", "client_sk"
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finegourmet_spark.functions.ids import running_total
 from finegourmet_spark.operators.registry import query
 from finegourmet_spark.sources.testdata import load_table as t
 
@@ -342,17 +343,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: documents are laid out in a
     stable order and assigned to fixed-token bins by their running token
     offset (bin = ⌊start_offset / budget⌋) — the streaming-friendly
-    approximation of bin packing that needs ONE window pass, no iterative
-    solver. The global cumulative sum is the reference formulation for
-    oracle parity; at 100 TB the same computation runs hierarchically
-    (per-partition sums → offsets, the zipWithIndex pattern of
-    q_surrogate_keys_scalable)."""
+    approximation of bin packing that needs ONE scan, no iterative solver.
+    The running offset is computed HIERARCHICALLY (functions/ids.py::
+    running_total: per-partition token sums → driver offsets → partition-
+    local cumsum) — value-identical to the oracle's global cumulative-sum
+    window but with no single-task stage, so the packing scales out."""
     d = t(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window as W
 
     toks = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    packed = running_total(toks, ["doc_id"], "n_tokens", "cum_tokens")
     return (
         packed.select(
             F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(PACK_BUDGET))

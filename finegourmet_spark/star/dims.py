@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from finegourmet_spark.functions.ids import dense_ids
 from finegourmet_spark.star.schemas import PRODUCT_RENAMES
 
 
@@ -64,9 +65,11 @@ def build_dim_client(sfcc: DataFrame, cegid: DataFrame) -> DataFrame:
     (SURVEY.md §4.2). Emails were normalized at conform time, upstream of
     both dim and fact (fixes the §3.3.2 ordering bug).
 
-    Client_ID is a dense surrogate from a global-ordered row_number — fine
-    for a bounded client dim; an unbounded key space would use the
-    zipWithIndex assigner (operators/relational.py::q_surrogate_keys_scalable).
+    Client_ID is a dense surrogate assigned by the scale-safe two-phase
+    range-partition assigner (functions/ids.py::dense_ids) — value-identical
+    to ``row_number() OVER (ORDER BY Email)`` (Email is unique after the
+    collapse) but with no global-window single-task stage, so the dim build
+    survives an unbounded key space.
     """
     s = sfcc.select(
         "Email", "Last_Name", "First_Name", "Phone", "Address",
@@ -96,9 +99,8 @@ def build_dim_client(sfcc: DataFrame, cegid: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    wid = Window.orderBy("Email")
-    return collapsed.select(
-        F.row_number().over(wid).alias("Client_ID"),
+    return dense_ids(collapsed, ["Email"], "Client_ID").select(
+        "Client_ID",
         "Email",
         "Last_Name",
         "First_Name",

@@ -74,6 +74,7 @@ def merge_by_key(
     delta: DataFrame,
     key: str = "Sale_ID",
     name: str = "Fact_Sales",
+    validate_immutable_dates: bool = True,
 ) -> None:
     """Keyed MERGE (upsert) into the partitioned parquet fact: rows in
     ``delta`` replace same-key rows, new keys append — all scoped to the
@@ -84,7 +85,24 @@ def merge_by_key(
     just those partitions via dynamic overwrite. At 100 TB the cost is
     proportional to the touched months, never the table. (On Delta/Iceberg
     this is the engine's MERGE INTO; this is the same algorithm expressed on
-    plain parquet.)"""
+    plain parquet.)
+
+    Two safety rails (ADVICE r1):
+      * ``kept`` is eagerly localCheckpoint-ed BEFORE the overwrite — its
+        plan lazily reads the very partitions the dynamic overwrite rewrites,
+        which is the read-and-overwrite-same-path hazard Spark normally
+        rejects. Checkpointing materializes the survivor rows first, so the
+        rewrite never depends on files it is replacing. (A crash inside the
+        commit itself can still torch a partition — inherent to in-place
+        parquet; a table format with a transaction log is the prod answer.)
+      * month-scoping assumes a key NEVER moves months (Date immutable for
+        existing keys) — otherwise the old row in the old month survives and
+        the key is duplicated. ``validate_immutable_dates`` enforces this by
+        scanning the UNTOUCHED months' (key, month) columns (column-pruned,
+        broadcast semi-join, no shuffle) and failing loudly on violation;
+        disable for bulk backfills where the full-table key-column scan is
+        not worth it and the invariant is guaranteed upstream.
+    """
     delta = delta.withColumn("Sale_Month", F.date_format("Date", "yyyy-MM"))
     months = [r["Sale_Month"] for r in delta.select("Sale_Month").distinct().collect()]
     # NULL months (malformed dates land in the default partition) need an
@@ -94,9 +112,26 @@ def merge_by_key(
     month_pred = F.col("Sale_Month").isin(non_null)
     if None in months:
         month_pred = month_pred | F.col("Sale_Month").isNull()
-    existing = spark.read.parquet(f"{out_dir}/{name}").filter(month_pred)
     keys = delta.select(key).distinct()
-    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    if validate_immutable_dates:
+        # out-of-scope = NOT month_pred, with NULL months folding to
+        # out-of-scope unless the delta itself touches the null month
+        stray = (
+            spark.read.parquet(f"{out_dir}/{name}")
+            .filter(~F.coalesce(month_pred, F.lit(False)))
+            .select(key, "Sale_Month")
+            .join(F.broadcast(keys), key, "left_semi")
+        )
+        sample = stray.limit(5).collect()
+        if sample:
+            raise ValueError(
+                f"merge_by_key: delta keys exist in months outside the delta "
+                f"(Date moved for an existing {key}) — month-scoped merge would "
+                f"duplicate them. Examples: "
+                f"{[(r[key], r['Sale_Month']) for r in sample]}"
+            )
+    existing = spark.read.parquet(f"{out_dir}/{name}").filter(month_pred)
+    kept = existing.join(F.broadcast(keys), key, "left_anti").localCheckpoint(eager=True)
     merged = kept.unionByName(delta)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

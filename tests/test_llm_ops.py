@@ -70,6 +70,41 @@ def test_minhash_lsh_recalls_near_dups(spark, corpus_dir):
     assert (0, 3) not in candidates  # unrelated docs don't collide
 
 
+def test_lsh_gate_recalls_all_exact_jaccard_pairs(spark, sf_dir):
+    """The registered q_dedup_ngram_jaccard is LSH-gated (16 bands × 2 rows):
+    its result must still equal the CORPUS-WIDE exact formulation — i.e. the
+    candidate set ⊇ every θ≥0.2 pair. Verified against the ungated exact
+    shingle self-join on the real testdata."""
+    from finegourmet_spark.operators.dedup import normalized_text, shingles
+
+    gated = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", shingles(normalized_text()).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    n_common = F.size(F.array_intersect("a.sh", "b.sh"))
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))  # corpus-wide, test-scale only
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (n_common.cast("double") / (F.size("a.sh") + F.size("b.sh") - n_common)).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.2)
+        ).collect()
+    }
+    assert gated == exact  # gate loses no pair and invents none
+
+
 def test_simhash_identical_docs_share_signature(spark, corpus_dir):
     sigs = {r["doc_id"]: r for r in QUERIES["q_dedup_simhash"](spark, corpus_dir).collect()}
     assert sigs[0]["simhash"] == sigs[2]["simhash"]
@@ -121,6 +156,21 @@ def test_minhash_ml_agrees_with_custom(spark, corpus_dir):
     assert (0, 2) in ml_pairs  # identical docs
     assert (0, 1) in ml_pairs and (1, 2) in ml_pairs  # near-dups
     assert (0, 3) not in ml_pairs  # unrelated
+
+
+def test_multimodal_frames_empty_payload_emits_no_rows(spark, tmp_path_factory):
+    """A zero-byte payload must produce ZERO frame rows — unguarded
+    sequence(0, -1) would infer step -1 and emit two spurious frames
+    (ADVICE r1)."""
+    d = str(tmp_path_factory.mktemp("empty_doc"))
+    rows = [(0, "", "en", "src0", 0), (1, "some real content here", "en", "src0", 22)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    frames = QUERIES["q_multimodal_frames"](spark, d).collect()
+    assert all(r["doc_id"] != 0 for r in frames)  # empty doc: no frames
+    assert any(r["doc_id"] == 1 for r in frames)
+    assert all(r["frame_bytes"] > 0 and r["frame_no"] >= 0 for r in frames)
 
 
 def test_multimodal_decode_stub_contract(spark, sf_dir):

@@ -232,6 +232,29 @@ def test_merge_by_key_upserts_within_month(spark, result, tmp_path_factory):
     assert back.filter(F.col("Sale_Month") == "2024-08").count() == 2
 
 
+def test_merge_by_key_rejects_month_moving_keys(spark, result, tmp_path_factory):
+    """A delta that moves an existing Sale_ID to a different month must fail
+    loudly (ADVICE r1: month-scoped merge would otherwise leave the old row
+    alive in its original month → duplicate key)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from finegourmet_spark.star.load import merge_by_key, write_star
+
+    out = str(tmp_path_factory.mktemp("star_merge_guard"))
+    write_star(result.star, out)
+    fact = result.star["Fact_Sales"]
+    moved = (
+        fact.filter(F.col("Sale_ID") == "PA01240100001")
+        .drop("Sale_Month")
+        .withColumn("Date", F.add_months(F.col("Date"), 6))
+    )
+    with pytest.raises(ValueError, match="months outside the delta"):
+        merge_by_key(spark, out, moved)
+    # with validation off the merge is the caller's responsibility
+    merge_by_key(spark, out, moved, validate_immutable_dates=False)
+
+
 def test_observation_metrics_from_single_pass(spark, tmp_path_factory):
     """The Observation API collects fact-quality metrics during the write —
     no extra scans (vs the reference's 8 eager re-executions)."""
