@@ -23,6 +23,7 @@ import finegourmet_spark.operators.textops  # noqa: F401
 import finegourmet_spark.operators.dedup  # noqa: F401
 import finegourmet_spark.operators.similarity  # noqa: F401
 import finegourmet_spark.operators.skew  # noqa: F401
+import finegourmet_spark.operators.temporal  # noqa: F401
 import finegourmet_spark.operators.multimodal  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
@@ -65,6 +66,8 @@ _PRIORITY = [
     "q_pack_sequences", "q_dedup_ngram_jaccard",
     # ---- slot 50 boundary ----------------------------------------------
     # never driver-checked yet (r03 rotation candidates for the top slots)
+    "q_join_asof", "q_join_range", "q_sessionize",
+    "q_similarity_topk_np", "q_similarity_ivf_kmeans",
     "q_lang_id", "q_tokenize_bpe", "q_hypertable_rollup", "q_text_scrub_pii",
     "q_chunk_documents", "q_split_train_eval", "q_doc_fingerprint",
     "q_dedup_minhash_ml", "q_dedup_simhash", "q_similarity_ivf",

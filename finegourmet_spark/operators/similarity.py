@@ -191,6 +191,107 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_similarity_topk_np")  # rows-only: numpy BLAS sum order ≠ sequential fold
+def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, Arrow/numpy fast path: the probe matrix
+    (20×64 floats — metadata-scale) is collected once and closed over; the
+    corpus streams through mapInPandas in Arrow batches, each batch scoring
+    ALL probes with one float64 GEMM and emitting only its per-batch top-k
+    per probe (partial top-k!); a final window takes the global top-k over
+    ≤ k·n_batches·n_probes candidate rows — the shuffle carries candidates,
+    never the full score matrix. Semantically identical to q_similarity_topk
+    (pytest-asserted); registered rows-only because BLAS pairwise summation
+    differs from the sequential fold in the last ulps, which can flip a
+    6-decimal rounding boundary."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # metadata-scale: N_QUERIES rows, not the corpus
+    )
+    import numpy as np
+
+    probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    probe_mat = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
+    probe_mat /= np.linalg.norm(probe_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = probe_mat @ mat.T  # (n_probes, batch)
+            for qi, qid in enumerate(probe_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], np.round(row[mask], 6)
+                take = min(TOP_K, len(cand_ids))
+                if take == 0:
+                    continue
+                # partial top-k inside the batch (ties keep lowest id later)
+                part = np.argsort(-cand_sims, kind="stable")[: take + TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[part],
+                        "cos_sim": cand_sims[part],
+                    }
+                )
+
+    candidates = e.select("vec_id", "embedding").mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@query("q_similarity_ivf_kmeans")  # rows-only: trained centroids are engine-specific
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED quantizer: spark.ml KMeans (fixed seed) learns the
+    coarse cells instead of borrowing the `label` column — the real 100 TB
+    recipe (train on a sample, assign via the model's broadcast centroids,
+    then the same co-partitioned cell equi-join as q_similarity_ivf).
+    Registered rows-only (centroids depend on the engine's KMeans); cell
+    subset/recall properties are pytest-verified
+    (tests/test_approx_and_lsh.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(
+        feats.select("features")
+    )
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", "cell", norm(F.col("embedding")).alias("vnorm")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("embedding").alias("qe"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell"),
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
 N_PLANES = 16  # 4 tables × 4 sign bits
 N_TABLES = 4
 BITS_PER_TABLE = N_PLANES // N_TABLES

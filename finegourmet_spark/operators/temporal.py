@@ -1,0 +1,240 @@
+"""Event-time operators Spark lacks as built-ins: as-of join, range
+(interval) join, sessionization — each expressed as a composition of
+DataFrame ops with a scale-safe shuffle shape (no per-key loops, no
+cross products, no Python in the row path).
+
+The reference engine family exposes these as native operators; on Spark the
+right formulations are:
+
+  * AS-OF JOIN  — the union-then-window trick: tag probe/build rows, union,
+    one window partitioned by the join key ordered by (ts, tag, id), and a
+    `last(ignorenulls)` carries the most recent build attributes forward to
+    each probe row. ONE shuffle on the key; never a per-row lookup. (Same
+    algorithm pandas.merge_asof runs per-group, distributed.)
+  * RANGE JOIN — equi-join on (key, time-bucket) with the probe side
+    exploded to the buckets its interval can reach, then an exact residual
+    filter. Bounded fan-out (interval/bucket + 1 copies), co-partitioned
+    shuffle; Catalyst alone would pick BroadcastNestedLoopJoin or a
+    cross-product for a pure theta join.
+  * SESSIONIZE  — gap-based session ids per user: lag → gap flag →
+    running sum, all inside one user-partitioned window stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+RANGE_WINDOW_US = 300_000_000  # 5 minutes, in microseconds
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      FROM events
+    ), u AS (
+      SELECT user_id, ts, event_id AS probe_id,
+             NULL::BIGINT AS bld_id, NULL::DOUBLE AS bld_value, 1 AS is_probe
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, event_id, value, 0
+      FROM e WHERE event_type = 'purchase'
+    ), lv AS (
+      SELECT user_id, ts, probe_id, is_probe,
+             last_value(bld_id IGNORE NULLS) OVER w AS purchase_id,
+             last_value(bld_value IGNORE NULLS) OVER w AS purchase_value,
+             last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER w
+               AS purchase_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, is_probe, COALESCE(bld_id, probe_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT probe_id AS click_id, user_id, ts AS click_ts,
+           purchase_id, purchase_value, purchase_ts
+    FROM lv WHERE is_probe = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click is joined to the user's most recent purchase
+    at-or-before it (left as-of — clicks with no prior purchase keep NULLs).
+
+    Union-then-window: ONE shuffle on user_id; the window order
+    (ts, is_probe, event_id) is total, so ties (same-timestamp events, or a
+    purchase exactly at the click time) resolve deterministically —
+    equal-ts purchases sort BEFORE the click (is_probe 0 < 1), i.e. the
+    boundary is inclusive; equal-ts purchases resolve to the highest
+    event_id."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    probe = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast("long").alias("bld_id"),
+        F.lit(None).cast("double").alias("bld_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    build = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col("event_id").alias("bld_id"),
+        F.col("value").alias("bld_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", F.coalesce("bld_id", "probe_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).select(
+        "user_id",
+        "ts",
+        "probe_id",
+        "is_probe",
+        F.last("bld_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.last("bld_value", ignorenulls=True).over(w).alias("purchase_value"),
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("purchase_ts"),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("probe_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "purchase_id",
+        "purchase_value",
+        "purchase_ts",
+    )
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id, event_type
+      FROM events
+    )
+    SELECT a.event_id AS error_id, b.event_id AS click_id, a.user_id,
+           a.us - b.us AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.us BETWEEN a.us - {RANGE_WINDOW_US} AND a.us
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) join: every click by the same user in the 5 minutes
+    before an error — the "what led up to this?" query.
+
+    Scale shape: both sides bucket time at the window width; the ERROR side
+    explodes to the two buckets its lookback interval spans, the click side
+    keeps its single bucket, and the join is an EQUI-join on
+    (user_id, bucket) with an exact residual range filter. Each matching
+    pair meets in exactly one bucket (the click's), so no dedup pass is
+    needed. Fan-out is bounded at 2× the probe side; a pure theta join
+    would be a per-user cross product."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type"
+    )
+    bucket = (F.col("us") / F.lit(RANGE_WINDOW_US)).cast("long")
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("us").alias("err_us"),
+            "user_id",
+            F.explode(F.array(bucket - 1, bucket)).alias("bucket"),
+        )
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("clk_us"),
+        "user_id",
+        bucket.alias("bucket"),
+    )
+    return (
+        err.join(clk, ["user_id", "bucket"])
+        .filter(
+            (F.col("clk_us") >= F.col("err_us") - F.lit(RANGE_WINDOW_US))
+            & (F.col("clk_us") <= F.col("err_us"))
+        )
+        .select(
+            "error_id",
+            "click_id",
+            "user_id",
+            (F.col("err_us") - F.col("clk_us")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
+      FROM events
+    ), flagged AS (
+      SELECT event_id, user_id, us,
+             CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US} OR
+                       lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sessions AS (
+      SELECT event_id, user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           MIN(us) AS session_start_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user session ids from a 30-minute
+    inactivity gap — lag → new-session flag → running sum, one shuffle on
+    user_id, everything else window-local. (The streaming twin is
+    q_stream_session's native session window; this is the backfill/batch
+    path over historical events.) Output is one row per session."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id",
+        "us",
+        F.sum("is_new").over(wsum).cast("bigint").alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

@@ -146,6 +146,39 @@ def test_bruteforce_topk_is_exact_ceiling(spark, sf_dir):
         assert bf[q] >= s - 1e-9
 
 
+def test_numpy_topk_matches_jvm_topk(spark, sf_dir):
+    """The Arrow/numpy fast path must return the SAME top-k as the JVM fold
+    baseline (same ids, sims within a rounding ulp)."""
+    jvm = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+    }
+    np_ = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in QUERIES["q_similarity_topk_np"](spark, sf_dir).collect()
+    }
+    assert jvm.keys() == np_.keys()
+    for k, (nid, sim) in jvm.items():
+        nid2, sim2 = np_[k]
+        assert nid == nid2, f"{k}: neighbor {nid} != {nid2}"
+        assert abs(sim - sim2) <= 1e-6
+
+
+def test_kmeans_ivf_neighbors_share_trained_cell(spark, sf_dir):
+    """KMeans-IVF: every neighbor comes from the query's trained cell, and
+    per-query top-1 never beats the brute-force ceiling."""
+    rows = QUERIES["q_similarity_ivf_kmeans"](spark, sf_dir).collect()
+    assert rows, "kmeans IVF returned nothing"
+    bf = {
+        r["query_id"]: r["cos_sim"]
+        for r in QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for r in rows:
+        if r["rank"] == 1:
+            assert bf[r["query_id"]] >= r["cos_sim"] - 1e-6
+
+
 def test_minhash_ml_agrees_with_custom(spark, corpus_dir):
     """The spark.ml MinHashLSH path must recall the same known near-dup pairs
     as the custom relational MinHash."""

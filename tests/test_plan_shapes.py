@@ -84,6 +84,43 @@ def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
     assert "hashpartitioning(content_hash" in plan
 
 
+def test_asof_join_single_keyed_shuffle_no_single_partition(spark, sf_dir):
+    """The as-of join is one window over a user_id-partitioned union: no
+    SinglePartition exchange (global window) and no join operator at all —
+    the per-key lookup is carried by last(ignorenulls)."""
+    plan = plan_of(QUERIES["q_join_asof"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan  # union+window, not an actual join
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The interval join must run as an equi-join on (user_id, bucket) —
+    never BroadcastNestedLoopJoin/CartesianProduct, which is what a raw
+    theta join degenerates to."""
+    plan = plan_of(QUERIES["q_join_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan and "bucket" in plan
+
+
+def test_surrogate_scalable_no_single_partition(spark, sf_dir):
+    """dense_ids: no global-window SinglePartition exchange anywhere."""
+    df = QUERIES["q_surrogate_keys_scalable"](spark, sf_dir)
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in final_plan
+
+
+def test_pack_sequences_no_single_partition(spark, sf_dir):
+    """Hierarchical running totals: the registered pack query has no
+    global-window stage."""
+    df = QUERIES["q_pack_sequences"](spark, sf_dir)
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in final_plan
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     """Identically-bucketed tables join with ZERO Exchange — the write-time
     shuffle investment that big recurring joins amortize at 100 TB."""
