@@ -161,6 +161,97 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("jaccard") >= 0.2)
 
 
+_CC_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT p.da, p.db FROM pair_inter p
+  JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+  WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.2
+), edges AS (
+  SELECT da AS u, db AS v FROM pairs UNION ALL SELECT db, da FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS is_survivor
+FROM cc
+"""
+
+
+@query("q_dedup_clusters", oracle=_CC_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the θ≥0.2
+    exact-Jaccard pair graph, canonical survivor = the component's minimum
+    doc_id — the step that turns pair lists into actual keep/drop decisions
+    (transitive chains a→b→c collapse to ONE cluster even when a↔c alone
+    is below threshold).
+
+    Distributed shape: iterative min-label propagation — per round, every
+    node takes min(own label, neighbors' labels); labels only decrease, so
+    Σlabels is a strictly-decreasing convergence witness costing one tiny
+    agg per round (no extra join). Each round is one equi-join + one
+    hash-agg, lineage cut by an eager localCheckpoint (the standard Spark
+    iterative-algorithm pattern). Rounds needed = graph diameter — tiny for
+    near-dup clusters; a 100 TB deployment with adversarial chain lengths
+    switches to the large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which is the
+    same per-round plan shape with provably O(log² n) rounds."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    edges = edges.localCheckpoint(eager=True)  # evaluate the LSH gate once
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(15):  # >= diameter of any real dup cluster
+        neigh = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("q_dedup_clusters: label propagation did not converge")
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(wc).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 N_HASHES = 32

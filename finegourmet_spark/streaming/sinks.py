@@ -1,0 +1,126 @@
+"""Streaming sinks and state-store configuration: the production half of
+the streaming story (sources/windows are streaming/windows.py).
+
+  * **Idempotent foreachBatch sink** — Structured Streaming's exactly-once
+    guarantee only extends to sinks that are idempotent per (batchId).
+    `write_stream_idempotent` partitions output by batch id and makes each
+    micro-batch OVERWRITE its own partition: a batch replayed after a crash
+    rewrites the same directory instead of duplicating rows. This is the
+    standard plain-parquet recipe; on Delta/Iceberg the txn log subsumes it.
+  * **RocksDB state store** — the default HDFSBackedStateStoreProvider keeps
+    every key in executor heap; at 100 TB-scale key cardinality (session
+    windows over billions of users) state must spill. `rocksdb_conf()`
+    returns the session confs enabling Spark's built-in RocksDB provider
+    with changelog checkpointing.
+  * **Kafka wiring** — source/sink constructors for the standard
+    `spark-sql-kafka` connector. The connector jar is not in this
+    container, so construction is lazy and the tests skip gracefully when
+    the DataSource is absent; on a real cluster these run unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_stream_idempotent(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Start an idempotent foreachBatch parquet sink.
+
+    Each micro-batch writes to ``out_dir/_batch_id=<id>/`` with mode
+    overwrite: re-delivery of a batch after failure replaces its own output
+    (idempotent), never appends duplicates. Readers see exactly-once data by
+    reading ``out_dir`` recursively; the `_batch_id` partition column also
+    gives per-batch lineage for audits/backfills."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df if transform is None else transform(batch_df)
+        out.write.mode("overwrite").parquet(f"{out_dir}/_batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_idempotent_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read everything the idempotent sink produced (all batch partitions)."""
+    return (
+        spark.read.option("basePath", out_dir)
+        .option("recursiveFileLookup", "false")
+        .parquet(f"{out_dir}/_batch_id=*")
+    )
+
+
+def rocksdb_conf() -> dict[str, str]:
+    """Session confs switching streaming state to the RocksDB provider —
+    off-heap, spillable, changelog-checkpointed. Apply via
+    ``SparkSession.builder.config(...)`` or set before the first stream
+    starts (state store provider is fixed per query at start)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
+KAFKA_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """readStream from a Kafka topic of JSON events → typed columns.
+
+    Requires the `spark-sql-kafka-0-10` connector on the classpath (not in
+    this container — tests skip; the constructor itself is pure plan
+    building and fails only at stream start if the DataSource is absent)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def kafka_sink(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+):
+    """writeStream to Kafka: rows serialize to JSON `value` (+ optional
+    `key` for partition affinity — same key → same Kafka partition →
+    per-key ordering downstream)."""
+    cols = [F.to_json(F.struct("*")).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return (
+        stream_df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -29,7 +29,7 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 
 def test_percentile_approx_brackets_exact(spark, sf_dir):
     rows = {
-        r["l_returnflag"]: r["price_p50_p95"]
+        r["l_returnflag"]: (r["price_p50"], r["price_p95"])
         for r in QUERIES["q_agg_approx"](spark, sf_dir).collect()
     }
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

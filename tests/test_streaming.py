@@ -97,6 +97,85 @@ def test_stream_dedup_drops_duplicate_event(spark, event_dir):
     assert len({r["event_id"] for r in got}) == len(EVENTS) - 1
 
 
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """A re-delivered micro-batch overwrites its own partition — replaying
+    batch 0 leaves the sink contents identical (the exactly-once contract
+    foreachBatch sinks must provide themselves)."""
+    from finegourmet_spark.streaming.sinks import (
+        read_idempotent_sink,
+        write_stream_idempotent,
+    )
+
+    src_dir = str(tmp_path / "events_in")
+    _write_events(src_dir, EVENTS)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_event_stream(spark, src_dir)
+    q = write_stream_idempotent(src, out, ckpt)
+    q.awaitTermination(120)
+    first = sorted(
+        (r["event_id"], str(r["ts"])) for r in read_idempotent_sink(spark, out).collect()
+    )
+    assert len(first) == len(EVENTS)
+    # simulate the replay Structured Streaming performs after a sink crash:
+    # rerun the same batch payload under the same batch id
+    batch_df = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(src_dir)
+    batch_df.write.mode("overwrite").parquet(f"{out}/_batch_id=0")
+    again = sorted(
+        (r["event_id"], str(r["ts"])) for r in read_idempotent_sink(spark, out).collect()
+    )
+    assert again == first  # replay idempotent, no duplicates
+
+
+def test_rocksdb_state_store_session_windows(spark, tmp_path):
+    """Session windows under the RocksDB state store provider return the
+    same result as the default heap provider (state backend is a physical
+    choice, not a semantic one)."""
+    from finegourmet_spark.streaming.sinks import rocksdb_conf
+
+    src_dir = str(tmp_path / "events_in")
+    _write_events(src_dir, EVENTS)
+    prev = {k: spark.conf.get(k, None) for k in rocksdb_conf()}
+    for k, v in rocksdb_conf().items():
+        spark.conf.set(k, v)
+    try:
+        src = read_event_stream(spark, src_dir)
+        _run_stream(stream_session(src), "t_session_rocks", "complete")
+        rows = spark.sql("SELECT * FROM t_session_rocks").collect()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2  # same sessions as the heap-provider test
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 2
+
+
+def test_kafka_wiring_or_skip(spark, tmp_path):
+    """Kafka constructors build valid plans when the connector is present;
+    in this container (no connector jar) stream start raises the DataSource
+    error — assert the failure mode is exactly that, so the wiring is known
+    to be the only missing piece."""
+    import pytest as _pytest
+
+    from finegourmet_spark.streaming.sinks import kafka_source
+
+    try:
+        df = kafka_source(spark, "localhost:9092", "events")
+        # plan built — connector present: don't actually start (no broker)
+        assert "event_id" in df.columns
+    except Exception as ex:  # noqa: BLE001
+        if "DATA_SOURCE_NOT_FOUND" in str(ex) or "Failed to find" in str(ex):
+            _pytest.skip("kafka connector not on classpath (expected here)")
+        raise
+
+
 def test_stream_incremental_second_batch(spark, tmp_path):
     """State carries across restarts-with-new-data (availableNow twice)."""
     d = str(tmp_path / "events_in2")
