@@ -68,6 +68,7 @@ _PRIORITY = [
     # never driver-checked yet (r03 rotation candidates for the top slots)
     "q_join_asof", "q_join_range", "q_sessionize",
     "q_similarity_topk_np", "q_similarity_ivf_kmeans", "q_dedup_clusters",
+    "q_repetition_ratio", "q_decontaminate", "q_corpus_curate",
     "q_lang_id", "q_tokenize_bpe", "q_hypertable_rollup", "q_text_scrub_pii",
     "q_chunk_documents", "q_split_train_eval", "q_doc_fingerprint",
     "q_dedup_minhash_ml", "q_dedup_simhash", "q_similarity_ivf",

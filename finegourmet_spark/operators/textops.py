@@ -423,3 +423,172 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(norm), 1, 8).alias("short_fp"),
         bow.alias("bow_fingerprint"),
     )
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB distinct word-n-gram list over lower(trim(text))."""
+    toks = "string_split(lower(trim(text)), ' ')"
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {joined}))"
+    )
+
+
+@query(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             greatest(len(string_split(lower(trim(text)), ' ')) - 2, 0) AS total_3g,
+             len({_sql_ngrams(3)}) AS distinct_3g
+      FROM documents
+    )
+    SELECT doc_id, total_3g, distinct_3g,
+           CASE WHEN total_3g > 0
+                THEN 1.0 - CAST(distinct_3g AS DOUBLE) / total_3g
+                ELSE 0.0 END AS rep_ratio,
+           (total_3g > 0 AND
+            1.0 - CAST(distinct_3g AS DOUBLE) / total_3g > 0.2) AS is_repetitive
+    FROM g
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality filter): fraction of
+    3-gram occurrences that are repeats of an earlier 3-gram in the same
+    document. Boilerplate/spam/failed-scrape pages score high and get
+    gated out of pre-training corpora. Pure per-row projection — no
+    shuffle, whole-stage codegen, linear at any scale."""
+    from finegourmet_spark.operators.dedup import normalized_text, shingles
+
+    d = t(spark, sf_dir, "documents")
+    norm = normalized_text()
+    total = F.greatest(F.size(F.split(norm, " ")) - 2, F.lit(0)).cast("bigint")
+    distinct = F.size(shingles(norm)).cast("bigint")
+    g = d.select(
+        "doc_id", total.alias("total_3g"), distinct.alias("distinct_3g")
+    )
+    ratio = F.lit(1.0) - F.col("distinct_3g").cast("double") / F.col("total_3g")
+    return g.select(
+        "doc_id",
+        "total_3g",
+        "distinct_3g",
+        F.when(F.col("total_3g") > 0, ratio).otherwise(F.lit(0.0)).alias("rep_ratio"),
+        ((F.col("total_3g") > 0) & (ratio > 0.2)).alias("is_repetitive"),
+    )
+
+
+EVAL_MOD = 50  # doc_id % 50 == 0 → held-out eval set (deterministic stand-in)
+DECON_N = 5  # 5-gram overlap (publicly standard is 8-13-grams; docs here are short)
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_ngrams(DECON_N)}) AS gram FROM documents
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ), hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.gram) AS n_overlap
+      FROM sh s JOIN eval_grams e ON s.gram = e.gram
+      WHERE s.doc_id % {EVAL_MOD} <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           (COALESCE(h.n_overlap, 0) > 0) AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    5-gram with the held-out eval set (the GPT-3/Pile n-gram-collision
+    protocol). Shape: explode distinct n-grams, semi-join the train grams
+    against the (small) distinct eval-gram set, count hits per doc. The
+    shuffle carries (doc_id, gram) pairs; a 100 TB run hashes grams to
+    64-bit first (xxhash64) so the exchange moves fixed-width keys — raw
+    strings are kept here for engine-portable oracle parity."""
+    from finegourmet_spark.operators.dedup import normalized_text, shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(normalized_text(), DECON_N)).alias("gram")
+    )
+    eval_grams = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(eval_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_overlap"))
+    )
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+@query(
+    "q_corpus_curate",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             md5(lower(trim(text))) AS h
+      FROM documents
+      WHERE length(text) >= 50
+        AND len(string_split(text, ' ')) >= 10
+        AND lang IN ('en', 'fr', 'de', 'es')
+    ), surv AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM base
+    ), final AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN doc_id % 10 < 8 THEN 'train'
+                  WHEN doc_id % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM surv WHERE rn = 1
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM final GROUP BY split, lang
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline: quality gate → exact dedup (lowest
+    doc_id survives) → deterministic train/val/test split → per-split corpus
+    accounting. One scan, one dedup shuffle on the 16-byte hash, one final
+    agg — the end-to-end shape every pre-training data refresh runs, showing
+    the individual operators (q_text_quality, q_dedup_exact,
+    q_split_train_eval) compose without extra passes."""
+    from pyspark.sql.window import Window
+
+    from finegourmet_spark.operators.dedup import normalized_text
+
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(
+        (F.length("text") >= 50)
+        & (F.size(F.split("text", " ")) >= 10)
+        & F.col("lang").isin("en", "fr", "de", "es")
+    ).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(normalized_text()).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    surv = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = F.col("doc_id") % 10
+    final = surv.select(
+        "lang",
+        "n_tokens",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return final.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
