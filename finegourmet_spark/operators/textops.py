@@ -161,6 +161,87 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# character-trigram profiles (language-characteristic SUBSTRINGS, not
+# word-boundary markers — catches morphology inside words, the practical
+# upgrade over stopword counting; ROADMAP round-2 item). Profiles are
+# standard high-frequency trigrams per language.
+CHAR_TRIGRAMS = {
+    "en": ["the", "ing", "and", "ion"],
+    "fr": ["les", "ent", "ais", "eur"],
+    "de": ["der", "sch", "ein", "ich"],
+    "es": ["que", "los", "ado", "nte"],
+}
+
+
+def _substr_count(col: Column, needle: str) -> Column:
+    """Non-overlapping substring occurrence count (no word padding)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def _sql_substr_count(expr: str, needle: str) -> str:
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+@query(
+    "q_lang_id_chargram",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             {en} AS score_en, {fr} AS score_fr, {de} AS score_de, {es} AS score_es
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_de, score_es,
+           CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es
+                     AND score_en > 0 THEN 'en'
+                WHEN score_fr >= score_de AND score_fr >= score_es AND score_fr > 0 THEN 'fr'
+                WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+                WHEN score_es > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """.format(
+        en=" + ".join(_sql_substr_count("lower(text)", m) for m in CHAR_TRIGRAMS["en"]),
+        fr=" + ".join(_sql_substr_count("lower(text)", m) for m in CHAR_TRIGRAMS["fr"]),
+        de=" + ".join(_sql_substr_count("lower(text)", m) for m in CHAR_TRIGRAMS["de"]),
+        es=" + ".join(_sql_substr_count("lower(text)", m) for m in CHAR_TRIGRAMS["es"]),
+    ),
+)
+def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character-trigram profile counts (the n-gram-profile
+    method of Cavnar & Trenkle '94, reduced to a fixed profile): counts are
+    exact integer arithmetic via the replace-length trick, argmax with the
+    same deterministic priority tie-break as q_lang_id. Still one
+    projection, no shuffle, no Python."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        *[
+            sum(
+                (_substr_count(low, m) for m in grams), F.lit(0).cast("bigint")
+            ).alias(f"score_{lang}")
+            for lang, grams in CHAR_TRIGRAMS.items()
+        ],
+    )
+    en, fr, de, es = (F.col(f"score_{lg}") for lg in ("en", "fr", "de", "es"))
+    pred = (
+        F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), "en")
+        .when((fr >= de) & (fr >= es) & (fr > 0), "fr")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id", "score_en", "score_fr", "score_de", "score_es",
+        pred.alias("predicted_lang"),
+    )
+
+
 @query(
     "q_tokenize_bpe",
     oracle="""
