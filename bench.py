@@ -48,7 +48,7 @@ def main() -> None:
     spark = get_spark(
         app_name="finegourmet_bench",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024),
         },
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finegourmet_spark.functions.partitioning import spread
 from finegourmet_spark.operators.registry import query
 from finegourmet_spark.sources.testdata import load_table as t
 
@@ -130,7 +131,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-wide exact formulation — recall of the gate is asserted in
     tests/test_llm_ops.py."""
     docs = t(spark, sf_dir, "documents")
-    d = docs.select("doc_id", shingles(normalized_text()).alias("sh")).filter(
+    d = spread(docs).select("doc_id", shingles(normalized_text()).alias("sh")).filter(
         F.size("sh") > 0
     )
     banded = minhash_banded(docs, n_hashes=N_HASHES, n_bands=16)
@@ -274,7 +275,11 @@ def minhash_banded(docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_B
     text.)
     """
     rows_per_band = n_hashes // n_bands
-    sh = docs.select("doc_id", F.explode(shingles(normalized_text())).alias("shingle"))
+    # widen degenerate scan partitioning BEFORE the ~200x shingle fan-out
+    # (no-op whenever the scan already has >= cores splits — i.e. at scale)
+    sh = spread(docs).select(
+        "doc_id", F.explode(shingles(normalized_text())).alias("shingle")
+    )
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -359,7 +364,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token hashes, entirely in JVM expressions — for bit j, sign of
     Σ_tokens (bit_j(xxhash64(tok)) ? 1 : -1). Near-dups share signatures.
     Output: doc_id, simhash, and bucket population (docs per signature)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", normalized_text().alias("txt"))
+    d = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", normalized_text().alias("txt")
+    )
     toks = F.array_distinct(F.split(F.col("txt"), " "))
     d = d.select("doc_id", F.transform(toks, lambda s: F.xxhash64(s)).alias("hashes"))
 

@@ -593,8 +593,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings are kept here for engine-portable oracle parity."""
     from finegourmet_spark.operators.dedup import normalized_text, shingles
 
+    from finegourmet_spark.functions.partitioning import spread
+
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = spread(d).select(
         "doc_id", F.explode(shingles(normalized_text(), DECON_N)).alias("gram")
     )
     eval_grams = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()

@@ -105,6 +105,17 @@ def test_lsh_gate_recalls_all_exact_jaccard_pairs(spark, sf_dir):
     assert gated == exact  # gate loses no pair and invents none
 
 
+def test_dedup_clusters_transitive_chain(spark, corpus_dir):
+    """Docs 0,1,2 are pairwise near-dups → ONE cluster with survivor 0;
+    unrelated doc 3 and sub-shingle doc 4 stay singletons."""
+    rows = {r["doc_id"]: r for r in QUERIES["q_dedup_clusters"](spark, corpus_dir).collect()}
+    assert rows[0]["cluster_id"] == rows[1]["cluster_id"] == rows[2]["cluster_id"] == 0
+    assert rows[0]["cluster_size"] == 3
+    assert rows[0]["is_survivor"] and not rows[1]["is_survivor"] and not rows[2]["is_survivor"]
+    assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1 and rows[3]["is_survivor"]
+    assert rows[4]["cluster_id"] == 4 and rows[4]["is_survivor"]
+
+
 def test_simhash_identical_docs_share_signature(spark, corpus_dir):
     sigs = {r["doc_id"]: r for r in QUERIES["q_dedup_simhash"](spark, corpus_dir).collect()}
     assert sigs[0]["simhash"] == sigs[2]["simhash"]
