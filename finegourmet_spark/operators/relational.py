@@ -1164,6 +1164,77 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey * 10 AS DOUBLE) AS metric_a,
+             CAST(length(n_name) AS DOUBLE) AS metric_b,
+             CAST(n_regionkey + 1 AS DOUBLE) AS metric_c
+      FROM nation
+    )
+    SELECT n_nationkey, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (metric_a, metric_b, metric_c))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of q_pivot: wide metric columns → long
+    (key, metric, value) rows, the shape feature stores and tidy-data
+    pipelines ingest. Spark's native `unpivot` (= SQL UNPIVOT / stack()):
+    pure per-row expansion, no shuffle, fixed 3× fan-out."""
+    n = t(spark, sf_dir, "nation")
+    wide = n.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 10).cast("double").alias("metric_a"),
+        F.length("n_name").cast("double").alias("metric_b"),
+        (F.col("n_regionkey") + 1).cast("double").alias("metric_c"),
+    )
+    return wide.unpivot(
+        ids=["n_nationkey"],
+        values=["metric_a", "metric_b", "metric_c"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND UNBOUNDED FOLLOWING)
+             AS second_best_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/nth_value) —
+    the remaining ANSI window surface beside q_window_rank's ranking tier
+    and q_window_analytic's offset tier. Unique tie-break keeps every value
+    deterministic; percent_rank/cume_dist are single IEEE divisions of
+    integer counts (engine-portable)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wall).alias("second_best_order"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # semi-structured: JSON / arrays / maps   (ref S3 multiline JSON scan → engine
 # extension to JSON scalar functions and collection types)
