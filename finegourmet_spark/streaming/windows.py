@@ -201,6 +201,43 @@ def stream_session(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "20 minutes",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each click joins
+    purchases by the same user within [click_ts - window, click_ts]. Both
+    sides carry watermarks so Spark can BOUND the join state (unmatched rows
+    older than watermark+window are evicted) — without the time bound the
+    state grows forever. The batch twin of this shape is
+    operators/temporal.py::q_join_range."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("purchase_ts") <= F.col("click_ts")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "value")
+
+
 def stream_dedup(events: DataFrame, watermark: str = "20 minutes") -> DataFrame:
     """Exactly-once event delivery: dedup on event_id ALONE within the
     watermark horizon — a replay with a re-stamped timestamp is still

@@ -97,6 +97,33 @@ def test_stream_dedup_drops_duplicate_event(spark, event_dir):
     assert len({r["event_id"] for r in got}) == len(EVENTS) - 1
 
 
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Clicks join purchases of the same user within the 10-minute lookback
+    — and only those (time bound enforced, state bounded by watermarks)."""
+    from finegourmet_spark.streaming.windows import stream_stream_join
+
+    rows = [
+        {"event_id": 10, "ts": "2024-01-01T00:00:00Z", "user_id": 1, "event_type": "purchase", "value": 5.0},
+        {"event_id": 11, "ts": "2024-01-01T00:08:00Z", "user_id": 1, "event_type": "click", "value": 0.0},
+        # purchase 55 min before the click: outside the 10-min window
+        {"event_id": 12, "ts": "2024-01-01T01:00:00Z", "user_id": 2, "event_type": "purchase", "value": 9.0},
+        {"event_id": 13, "ts": "2024-01-01T01:55:00Z", "user_id": 2, "event_type": "click", "value": 0.0},
+        # purchase AFTER the click: excluded (lookback only)
+        {"event_id": 14, "ts": "2024-01-01T02:10:00Z", "user_id": 3, "event_type": "click", "value": 0.0},
+        {"event_id": 15, "ts": "2024-01-01T02:12:00Z", "user_id": 3, "event_type": "purchase", "value": 7.0},
+    ]
+    d = str(tmp_path / "ss_events")
+    _write_events(d, rows)
+    src = read_event_stream(spark, d)
+    joined = stream_stream_join(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    _run_stream(joined, "t_ssjoin", "append")
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.sql("SELECT * FROM t_ssjoin").collect()}
+    assert got == {(11, 10)}
+
+
 def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
     """A re-delivered micro-batch overwrites its own partition — replaying
     batch 0 leaves the sink contents identical (the exactly-once contract
@@ -216,6 +243,47 @@ def test_stateful_user_totals(spark, tmp_path):
     got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
     assert got[1] == (3, 7.0)  # events 1,2,4
     assert got[2] == (2, 6.0)  # dup event counted twice pre-dedup
+
+
+def test_stateful_user_totals_tws_parity(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API) produces the same final
+    totals as the applyInPandasWithState implementation."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in this container)",
+    )
+    from finegourmet_spark.streaming.sinks import rocksdb_conf
+    from finegourmet_spark.streaming.stateful import stream_user_totals_tws
+
+    d = str(tmp_path / "events_tws")
+    _write_events(d, EVENTS)
+    src = read_event_stream(spark, d).select("user_id", "value")
+    # transformWithStateInPandas requires the RocksDB state store provider
+    prev = {k: spark.conf.get(k, None) for k in rocksdb_conf()}
+    for k, v in rocksdb_conf().items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            stream_user_totals_tws(src)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) v FROM t_tws GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
+    assert got[1] == (3, 7.0)
+    assert got[2] == (2, 6.0)
 
 
 def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
