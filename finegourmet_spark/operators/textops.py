@@ -311,6 +311,33 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_hll_rollup")  # rows-only: DataSketches HLL binary is engine-specific
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: minute-level HLL sketches of distinct users
+    → hourly rollup by UNIONING THE SKETCHES (hll_union_agg), never
+    rescanning raw events — the count-distinct twin of q_hypertable_rollup
+    (whose counts/sums are trivially associative; distinct counts need a
+    sketch to re-aggregate). At 100 TB the minute sketches are the stored
+    materialization and every coarser resolution derives from them.
+    Estimate accuracy vs exact countDistinct is pytest-asserted
+    (tests/test_approx_and_lsh.py)."""
+    e = t(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.col("w.start").alias("minute_start"), "event_type", "sk")
+    )
+    return (
+        minute.groupBy(F.window("minute_start", "1 hour").alias("w"), "event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("n_users_est"),
+        )
+    )
+
+
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
 URL_RE = r"https?://[^ ]+"
 DIGITS_RE = r"[0-9][0-9 .-]{6,}[0-9]"

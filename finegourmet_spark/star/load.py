@@ -146,6 +146,49 @@ def merge_by_key(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    name: str = "Fact_Sales",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    months: list[str] | None = None,
+) -> None:
+    """Small-file compaction for the partitioned fact: rewrite each target
+    month's many small files into ~target_file_bytes files. Streaming
+    micro-batches and frequent merges accrete small files; at 100 TB the
+    scan-task count (and NameNode/listing pressure) is proportional to file
+    count, so periodic compaction is table maintenance, not an optimization.
+
+    Per-partition file count = ceil(partition_bytes / target). The rewrite
+    goes through localCheckpoint for the same read-overwrite safety as
+    merge_by_key; only the listed months (default: all) are touched."""
+    import math
+
+    fact = spark.read.parquet(f"{out_dir}/{name}")
+    month_vals = months or [
+        r["Sale_Month"] for r in fact.select("Sale_Month").distinct().collect()
+    ]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for m in month_vals:
+            part = fact.filter(
+                F.col("Sale_Month").eqNullSafe(F.lit(m))
+            ).localCheckpoint(eager=True)
+            n_rows = part.count()
+            # ~100 bytes/row for this fact; derive file count from rows with
+            # a floor of 1 (exact byte targeting needs table-format stats)
+            n_files = max(1, math.ceil(n_rows * 100 / target_file_bytes))
+            (
+                part.repartition(n_files)
+                .write.mode("overwrite")
+                .partitionBy("Sale_Month")
+                .parquet(f"{out_dir}/{name}")
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def mirror_to_jdbc(
     star: dict[str, DataFrame], url: str, properties: dict[str, str]
 ) -> None:

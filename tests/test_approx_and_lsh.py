@@ -27,6 +27,32 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[flag] - n) <= max(0.2 * n, 10), (flag, approx[flag], n)
 
 
+def test_hll_rollup_estimates_match_exact(spark, sf_dir):
+    """Hourly sketch-union estimates track exact per-hour distinct users
+    (HLL default lgConfigK=12 ⇒ ~1.6% rsd; allow 5%)."""
+    est = {
+        (str(r["hour_start"]), r["event_type"]): r["n_users_est"]
+        for r in QUERIES["q_hll_rollup"](spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.functions import date_trunc, timestamp_micros, expr
+
+    exact = {
+        (str(r["h"]), r["event_type"]): r["n"]
+        for r in e.select(
+            date_trunc("hour", timestamp_micros(expr("ts div 1000"))).alias("h"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("h", "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.05 * n, 3), (k, est[k], n)
+
+
 def test_percentile_approx_brackets_exact(spark, sf_dir):
     rows = {
         r["l_returnflag"]: (r["price_p50"], r["price_p95"])

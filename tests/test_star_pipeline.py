@@ -255,6 +255,41 @@ def test_merge_by_key_rejects_month_moving_keys(spark, result, tmp_path_factory)
     merge_by_key(spark, out, moved, validate_immutable_dates=False)
 
 
+def test_compact_partitions_reduces_files_preserves_rows(spark, result, tmp_path_factory):
+    """Compaction rewrites a fragmented month into fewer files with
+    identical content; untouched months keep their files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from finegourmet_spark.star.load import compact_partitions, read_star, write_star
+
+    out = str(tmp_path_factory.mktemp("star_compact"))
+    write_star(result.star, out)
+    # fragment one month: rewrite it as many tiny files
+    fact = spark.read.parquet(f"{out}/Fact_Sales")
+    frag = fact.filter(F.col("Sale_Month") == "2024-01").repartition(16)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        frag.write.mode("overwrite").partitionBy("Sale_Month").parquet(f"{out}/Fact_Sales")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/Fact_Sales").collect()
+    )
+    n_frag = len(glob.glob(f"{out}/Fact_Sales/Sale_Month=2024-01/*.parquet"))
+    assert n_frag > 1
+
+    compact_partitions(spark, out, months=["2024-01"])
+    n_compact = len(glob.glob(f"{out}/Fact_Sales/Sale_Month=2024-01/*.parquet"))
+    assert n_compact == 1  # tiny month → single file
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/Fact_Sales").collect()
+    )
+    assert after_rows == before_rows  # content identical, all months intact
+
+
 def test_observation_metrics_from_single_pass(spark, tmp_path_factory):
     """The Observation API collects fact-quality metrics during the write —
     no extra scans (vs the reference's 8 eager re-executions)."""
