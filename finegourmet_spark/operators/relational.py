@@ -1200,6 +1200,89 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 100000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'P') AS any_partial,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_rev
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate surface: count_if, FILTER clauses, bool_and/
+    bool_or — one pass, partial+final hash agg, no CASE-expression
+    contortions. (FILTER'd sums keep the decimal-cast determinism policy.)"""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_partial"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", dec("o_totalprice")))
+        .cast("double")
+        .alias("open_rev"),
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(dt) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT dt + INTERVAL 1 DAY FROM spine WHERE dt < DATE '1996-03-31'
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT CAST(s.dt AS DATE) AS dt,
+           COALESCE(d.n, 0) AS n_orders,
+           COALESCE(d.rev, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d ON CAST(s.dt AS DATE) = d.dt
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating a Q1-1996 date
+    spine, left-joined to daily order counts — the zero-filled-time-series
+    ("gap fill") pattern dashboards need, where missing days must appear
+    with 0 rather than vanish. Runs through the engine's SQL API path
+    (register_views + spark.sql) — the spine is 91 driver-side rows, the
+    orders aggregation is the usual pushed-filter partial agg."""
+    from finegourmet_spark.sources.testdata import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(dt) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT dt + INTERVAL '1' DAY FROM spine WHERE dt < DATE '1996-03-31'
+        ), daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS dt, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s.dt AS dt,
+               COALESCE(d.n, 0) AS n_orders,
+               COALESCE(d.rev, 0.0) AS revenue
+        FROM spine s LEFT JOIN daily d ON s.dt = d.dt
+        """
+    )
+
+
+@query(
     "q_window_distribution",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
