@@ -338,6 +338,42 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K = 20  # docs kept per (lang, source) stratum
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rn AS sample_rank
+    FROM ranked WHERE rn <= {SAMPLE_K}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep K documents per (lang,
+    source) stratum, chosen by ordering on md5(doc_id) — a fixed
+    pseudo-random permutation that is identical on every engine, run, and
+    partitioning (engine-seeded RNG sampling is not reproducible across
+    systems; hash-ordering is). This is the data-mixing primitive: per-
+    stratum quotas compose into corpus mixture weights. One shuffle on the
+    stratum key; per-stratum rank is window-local."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )
+
+
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
 URL_RE = r"https?://[^ ]+"
 DIGITS_RE = r"[0-9][0-9 .-]{6,}[0-9]"
