@@ -67,7 +67,8 @@ _PRIORITY = [
     # ---- slot 50 boundary ----------------------------------------------
     # never driver-checked yet (r03 rotation candidates for the top slots)
     "q_join_asof", "q_join_range", "q_sessionize",
-    "q_similarity_topk_np", "q_similarity_ivf_kmeans", "q_dedup_clusters",
+    "q_similarity_topk_np", "q_similarity_ivf_kmeans", "q_similarity_pq",
+    "q_dedup_clusters",
     "q_repetition_ratio", "q_decontaminate", "q_corpus_curate",
     "q_lang_id_chargram", "q_unpivot", "q_window_distribution", "q_hll_rollup",
     "q_recursive_cte", "q_agg_conditional", "q_sample_stratified",

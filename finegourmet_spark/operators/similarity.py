@@ -292,6 +292,137 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
+PQ_M = 16  # subspaces (64 dims → 4 dims each)
+PQ_K = 16  # centroids per subspace → 4 bits; code = 16 nibbles = 8 bytes
+
+
+def _pq_train(sample: "np.ndarray", seed: int = 7, iters: int = 12):  # noqa: F821
+    """Tiny deterministic k-means per subspace (numpy, driver-side) on a
+    METADATA-SCALE sample — at 100 TB the codebooks come from spark.ml
+    KMeans per subspace over a sampled fraction; the trained tables are a
+    few KB either way and broadcast to executors."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d_sub = sample.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = sample[:, m * d_sub : (m + 1) * d_sub]
+        cent = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for k in range(PQ_K):
+                pts = sub[assign == k]
+                if len(pts):
+                    cent[k] = pts.mean(0)
+        books.append(cent)
+    return books  # list of (PQ_K, d_sub)
+
+
+@query("q_similarity_pq")  # rows-only: trained codebooks are run-specific
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): vectors are L2-normalized, split
+    into 16 subspaces, each encoded as its nearest of 16 trained centroids
+    — 8 BYTES per vector instead of 256, the memory/IO compression that
+    makes billion-vector scans feasible. Query scoring is ADC (asymmetric
+    distance computation): per probe, a 16×16 lookup table of partial dot
+    products is precomputed once; each corpus vector's approximate cosine
+    is 16 table lookups + adds — no float vector ever re-read. Corpus
+    encoding + scoring stream through mapInPandas with per-batch partial
+    top-k (same shuffle shape as q_similarity_topk_np).
+
+    Final step is the standard RE-RANK: the ADC shortlist (4·k per probe)
+    joins back to the full vectors of just those candidates and the exact
+    cosine decides the top-k — compressed codes prune the corpus, floats
+    only touch the shortlist. Recall vs the exact baseline is
+    pytest-asserted (tests/test_approx_and_lsh.py)."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    # training sample + probe set: metadata-scale collects (bounded, documented)
+    sample_rows = e.select("embedding").limit(2048).collect()
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample)
+
+    probe_rows = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    probe = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
+    probe /= np.linalg.norm(probe, axis=1, keepdims=True)
+    d_sub = probe.shape[1] // PQ_M
+    # ADC lookup tables: lut[q, m, k] = <probe_q_sub_m, centroid_m_k>
+    lut = np.stack(
+        [probe[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(PQ_M)],
+        axis=1,
+    )  # (n_probes, M, K)
+
+    out_schema = "query_id long, neighbor_id long, approx_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            # encode: nearest centroid per subspace
+            codes = np.empty((len(mat), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = mat[:, m * d_sub : (m + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d2.argmin(1)
+            # ADC: approx dot = Σ_m lut[q, m, code_m]
+            for qi, qid in enumerate(probe_ids):
+                sims = lut[qi, np.arange(PQ_M)[None, :], codes].sum(1)
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], np.round(sims[mask], 6)
+                take = min(TOP_K * 4, len(cand_ids))
+                if take == 0:
+                    continue
+                part = np.argsort(-cand_sims, kind="stable")[:take]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[part],
+                        "approx_sim": cand_sims[part],
+                    }
+                )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= TOP_K * 4
+    )
+    # exact re-rank: floats touch ONLY the shortlist (4k rows per probe)
+    probes_df = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qnorm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        norm(F.col("embedding")).alias("enorm"),
+    )
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(probes_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("enorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
 N_PLANES = 16  # 4 tables × 4 sign bits
 N_TABLES = 4
 BITS_PER_TABLE = N_PLANES // N_TABLES

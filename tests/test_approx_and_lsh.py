@@ -27,6 +27,22 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[flag] - n) <= max(0.2 * n, 10), (flag, approx[flag], n)
 
 
+def test_pq_rerank_recall(spark, sf_dir):
+    """PQ (8-byte codes) + exact shortlist re-rank: recall@5 ≥ 0.6 and
+    top-1 agreement ≥ 60% vs the exact brute-force baseline (measured 0.8 /
+    90% on this data; bounds are conservative). Deterministic: fixed
+    k-means seed, fixed data."""
+    pq = QUERIES["q_similarity_pq"](spark, sf_dir).collect()
+    ex = QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in ex}
+    pq_pairs = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    assert len(pq_pairs & exact_pairs) / len(exact_pairs) >= 0.6
+    exact1 = {r["query_id"]: r["neighbor_id"] for r in ex if r["rank"] == 1}
+    pq1 = {r["query_id"]: r["neighbor_id"] for r in pq if r["rank"] == 1}
+    agree = sum(1 for q in exact1 if pq1.get(q) == exact1[q])
+    assert agree / len(exact1) >= 0.6
+
+
 def test_hll_rollup_estimates_match_exact(spark, sf_dir):
     """Hourly sketch-union estimates track exact per-hour distinct users
     (HLL default lgConfigK=12 ⇒ ~1.6% rsd; allow 5%)."""
