@@ -253,6 +253,82 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components_alternating(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log² n) rounds REGARDLESS of graph
+    diameter, unlike plain min-label propagation's O(diameter). Use this
+    when components can be long chains (web graphs, citation chains); for
+    near-dup clusters (tiny diameter) min-label is cheaper per round.
+
+    large-star: every node connects its LARGER neighbors to its current
+    minimum neighbor (incl. itself); small-star: every node connects its
+    smaller-or-equal neighbors to its minimum. Each round is two
+    groupBy-min + join passes over the edge list; edges monotonically
+    point toward component minima until fixpoint.
+
+    ``edges``: columns (u, v), undirected (one direction suffices).
+    ``nodes``: column (id) — isolated nodes keep themselves as root.
+    Returns (id, component) where component = the component's min node id.
+    """
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        # per node u over its FULL neighborhood: m = min(Γ(u) ∪ {u});
+        # emit (w, m) for every strictly larger neighbor w
+        sym = _sym(df)
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient edges small→large so Γ(u) here = smaller neighbors; emit
+        # (w, m) for all of them plus (u, m)
+        oriented = _sym(df).filter(F.col("v") < F.col("u"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mins, "u")
+        return (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    e = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        stable = (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e = new_e
+        if stable:
+            break
+    else:
+        raise RuntimeError("connected_components_alternating did not converge")
+    # at fixpoint every edge points node → component root (the minimum)
+    roots = _sym(e).filter(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("component")
+    )
+    nodes_t = nodes.select(F.col("id").cast("long").alias("id"))
+    return (
+        nodes_t.join(roots, nodes_t["id"] == roots["u"], "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 N_HASHES = 32

@@ -116,6 +116,47 @@ def test_dedup_clusters_transitive_chain(spark, corpus_dir):
     assert rows[4]["cluster_id"] == 4 and rows[4]["is_survivor"]
 
 
+def test_alternating_cc_matches_min_label_and_handles_chains(spark, sf_dir):
+    """large-star/small-star CC (O(log²n) rounds) agrees with the min-label
+    q_dedup_clusters components on the real near-dup graph, and collapses a
+    50-node chain — the diameter case min-label would need 50 rounds for."""
+    from pyspark.sql import functions as F
+
+    from finegourmet_spark.operators.dedup import connected_components_alternating
+
+    # chain + triangle + isolate
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)] + [(100, 101), (101, 102), (100, 102)],
+        "u long, v long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(100,), (101,), (102,), (200,)], "id long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components_alternating(chain, nodes).collect()
+    }
+    assert all(out[i] == 0 for i in range(50))
+    assert out[100] == out[101] == out[102] == 100 and out[200] == 200
+
+    # equivalence with the min-label path on the real near-dup pair graph
+    ml = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+    }
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id")
+    )
+    alt = {
+        r["id"]: r["component"]
+        for r in connected_components_alternating(pairs, docs).collect()
+    }
+    assert alt == ml
+
+
 def test_simhash_identical_docs_share_signature(spark, corpus_dir):
     sigs = {r["doc_id"]: r for r in QUERIES["q_dedup_simhash"](spark, corpus_dir).collect()}
     assert sigs[0]["simhash"] == sigs[2]["simhash"]
