@@ -121,6 +121,45 @@ def test_pack_sequences_no_single_partition(spark, sf_dir):
     assert "SinglePartition" not in final_plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot-key join partition gets split by AQE's skew-join rule
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed) — the runtime half
+    of the skew story beside the deterministic salting operators
+    (operators/skew.py). Thresholds are lowered to make the tiny local
+    shuffle register as skewed; on a cluster the defaults (256MB) apply."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 8, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400000  # every row joins; skew split is pure physical
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     """Identically-bucketed tables join with ZERO Exchange — the write-time
     shuffle investment that big recurring joins amortize at 100 TB."""
