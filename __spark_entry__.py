@@ -71,7 +71,7 @@ _PRIORITY = [
     "q_dedup_clusters",
     "q_repetition_ratio", "q_decontaminate", "q_corpus_curate",
     "q_lang_id_chargram", "q_unpivot", "q_window_distribution", "q_hll_rollup",
-    "q_recursive_cte", "q_agg_conditional", "q_sample_stratified",
+    "q_recursive_cte", "q_agg_conditional", "q_sample_stratified", "q_scd2",
     "q_lang_id", "q_tokenize_bpe", "q_hypertable_rollup", "q_text_scrub_pii",
     "q_chunk_documents", "q_split_train_eval", "q_doc_fingerprint",
     "q_dedup_minhash_ml", "q_dedup_simhash", "q_similarity_ivf",

@@ -1230,6 +1230,72 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_name, c_acctbal, DATE '2024-01-01' AS eff_date
+      FROM customer
+    ), v2 AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+             DATE '2024-06-01' AS eff_date
+      FROM customer WHERE c_custkey % 2 = 0
+    ), allv AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ), versioned AS (
+      SELECT c_custkey, c_name, c_acctbal, eff_date,
+             lead(eff_date) OVER (PARTITION BY c_custkey ORDER BY eff_date)
+               AS next_eff,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY eff_date DESC)
+               AS rn_desc
+      FROM allv
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           eff_date AS valid_from,
+           COALESCE(CAST(next_eff - INTERVAL 1 DAY AS DATE), DATE '9999-12-31')
+             AS valid_to,
+           (rn_desc = 1) AS is_current
+    FROM versioned
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: every attribute change becomes a
+    new effective-dated row; [valid_from, valid_to] intervals tile each
+    key's timeline and exactly one row per key is current. Built from a
+    deterministic simulated update wave (even keys change balance) so both
+    engines derive identical versions. Shape: union snapshots → one window
+    pass per key (lead + reverse rank) — no self-join, one shuffle on the
+    dimension key; at 100 TB the update wave is the daily delta and the
+    union prunes to changed keys first (merge_by_key's month scoping,
+    applied to keys)."""
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("2024-01-01").cast("date").alias("eff_date")
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("2024-06-01").cast("date").alias("eff_date"),
+        )
+    )
+    allv = v1.unionByName(v2)
+    w = Window.partitionBy("c_custkey").orderBy("eff_date")
+    wd = Window.partitionBy("c_custkey").orderBy(F.col("eff_date").desc())
+    return allv.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.col("eff_date").alias("valid_from"),
+        F.coalesce(
+            F.date_sub(F.lead("eff_date").over(w), 1), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+        (F.row_number().over(wd) == 1).alias("is_current"),
+    )
+
+
+@query(
     "q_recursive_cte",
     oracle="""
     WITH RECURSIVE spine(dt) AS (
