@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 
 def _two_phase(
@@ -41,11 +40,19 @@ def _two_phase(
     ``partial_agg`` totals → driver-side exclusive prefix sums → per-row
     ``local_window_expr`` + partition offset. One metadata-sized action."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Materialized ONCE via eager localCheckpoint — load-bearing for
+    # correctness, not a cache optimization: repartitionByRange samples its
+    # boundaries with a per-RDD-id seed, so re-evaluating this plan in the
+    # totals job and again in the output job can pick DIFFERENT boundaries,
+    # desynchronizing _pid from the collected offsets (observed at sf0.1).
+    # localCheckpoint (vs .persist) keeps the blocks at RDD level, where the
+    # ContextCleaner reclaims them once the result is unreachable — no
+    # session-lifetime CacheManager pin (r2 review finding).
     sorted_df = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     totals = sorted_df.groupBy("_pid").agg(partial_agg.alias("_t")).collect()
     offsets: dict[int, int] = {}
@@ -77,8 +84,9 @@ def dense_ids(
     Values are deterministic and identical to
     ``row_number() OVER (ORDER BY order_cols)`` whenever ``order_cols`` is a
     total order (unique rows under that key) — but with no global-window
-    single-task stage. The input is persisted (it is consumed by both the
-    count action and the output plan) at a disk-backed level.
+    single-task stage. The range-partitioned form is materialized once
+    (eager localCheckpoint — see _two_phase for why that is load-bearing)
+    and reclaimed by the ContextCleaner when the result is unreachable.
     """
     return _two_phase(
         df, order_cols, F.count(F.lit(1)), F.row_number(), id_col, num_partitions

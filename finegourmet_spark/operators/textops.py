@@ -79,6 +79,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the corpus length gate, shared by q_text_quality and q_corpus_curate so
+# the composed pipeline can never drift from the standalone filter
+QUALITY_MIN_CHARS = 50
+QUALITY_MIN_TOKENS = 10
+
+
 @query(
     "q_text_quality",
     oracle="""
@@ -88,9 +94,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
            {the_count} AS stopword_hits,
-           (length(text) >= 50 AND len(string_split(text, ' ')) >= 10) AS passes_length_gate
+           (length(text) >= {min_chars} AND len(string_split(text, ' ')) >= {min_tokens})
+             AS passes_length_gate
     FROM documents
-    """.format(the_count=_sql_occurrences("text", "the")),
+    """.format(
+        the_count=_sql_occurrences("text", "the"),
+        min_chars=QUALITY_MIN_CHARS,
+        min_tokens=QUALITY_MIN_TOKENS,
+    ),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals: length gates, punctuation density, stopword
@@ -107,7 +118,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
         F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
         _occurrences(F.col("text"), "the").alias("stopword_hits"),
-        ((n_chars >= 50) & (n_tokens >= 10)).alias("passes_length_gate"),
+        (
+            (n_chars >= QUALITY_MIN_CHARS) & (n_tokens >= QUALITY_MIN_TOKENS)
+        ).alias("passes_length_gate"),
     )
 
 
@@ -679,13 +692,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corpus_curate",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
              md5(lower(trim(text))) AS h
       FROM documents
-      WHERE length(text) >= 50
-        AND len(string_split(text, ' ')) >= 10
+      WHERE length(text) >= {QUALITY_MIN_CHARS}
+        AND len(string_split(text, ' ')) >= {QUALITY_MIN_TOKENS}
         AND lang IN ('en', 'fr', 'de', 'es')
     ), surv AS (
       SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
@@ -715,8 +728,8 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     base = d.filter(
-        (F.length("text") >= 50)
-        & (F.size(F.split("text", " ")) >= 10)
+        (F.length("text") >= QUALITY_MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= QUALITY_MIN_TOKENS)
         & F.col("lang").isin("en", "fr", "de", "es")
     ).select(
         "doc_id",

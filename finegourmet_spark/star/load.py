@@ -113,12 +113,15 @@ def merge_by_key(
     if None in months:
         month_pred = month_pred | F.col("Sale_Month").isNull()
     keys = delta.select(key).distinct()
+    # one read (one file listing / InMemoryFileIndex) reused by both the
+    # validation scan and the kept-rows scan (r2 review: double LIST calls
+    # over all partitions are a real object-store cost at scale)
+    fact = spark.read.parquet(f"{out_dir}/{name}")
     if validate_immutable_dates:
         # out-of-scope = NOT month_pred, with NULL months folding to
         # out-of-scope unless the delta itself touches the null month
         stray = (
-            spark.read.parquet(f"{out_dir}/{name}")
-            .filter(~F.coalesce(month_pred, F.lit(False)))
+            fact.filter(~F.coalesce(month_pred, F.lit(False)))
             .select(key, "Sale_Month")
             .join(F.broadcast(keys), key, "left_semi")
         )
@@ -130,7 +133,7 @@ def merge_by_key(
                 f"duplicate them. Examples: "
                 f"{[(r[key], r['Sale_Month']) for r in sample]}"
             )
-    existing = spark.read.parquet(f"{out_dir}/{name}").filter(month_pred)
+    existing = fact.filter(month_pred)
     kept = existing.join(F.broadcast(keys), key, "left_anti").localCheckpoint(eager=True)
     merged = kept.unionByName(delta)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -159,15 +162,29 @@ def compact_partitions(
     scan-task count (and NameNode/listing pressure) is proportional to file
     count, so periodic compaction is table maintenance, not an optimization.
 
-    Per-partition file count = ceil(partition_bytes / target). The rewrite
-    goes through localCheckpoint for the same read-overwrite safety as
-    merge_by_key; only the listed months (default: all) are touched."""
+    Per-partition file count = ceil(actual_partition_bytes / target),
+    measured from the filesystem listing via the Hadoop FS API (works on
+    any FS/object store; r2 review: a rows×constant estimate mis-sizes any
+    fact whose rows aren't ~100 bytes). The rewrite goes through
+    localCheckpoint for the same read-overwrite safety as merge_by_key;
+    only the listed months (default: all) are touched."""
     import math
 
     fact = spark.read.parquet(f"{out_dir}/{name}")
     month_vals = months or [
         r["Sale_Month"] for r in fact.select("Sale_Month").distinct().collect()
     ]
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _partition_bytes(month: str | None) -> int:
+        dirname = month if month is not None else "__HIVE_DEFAULT_PARTITION__"
+        p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{name}/Sale_Month={dirname}")
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return 0
+        return fs.getContentSummary(p).getLength()
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -175,10 +192,7 @@ def compact_partitions(
             part = fact.filter(
                 F.col("Sale_Month").eqNullSafe(F.lit(m))
             ).localCheckpoint(eager=True)
-            n_rows = part.count()
-            # ~100 bytes/row for this fact; derive file count from rows with
-            # a floor of 1 (exact byte targeting needs table-format stats)
-            n_files = max(1, math.ceil(n_rows * 100 / target_file_bytes))
+            n_files = max(1, math.ceil(_partition_bytes(m) / target_file_bytes))
             (
                 part.repartition(n_files)
                 .write.mode("overwrite")

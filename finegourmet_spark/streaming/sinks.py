@@ -31,6 +31,7 @@ def write_stream_idempotent(
     out_dir: str,
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    processing_time: str | None = None,
 ):
     """Start an idempotent foreachBatch parquet sink.
 
@@ -38,18 +39,26 @@ def write_stream_idempotent(
     overwrite: re-delivery of a batch after failure replaces its own output
     (idempotent), never appends duplicates. Readers see exactly-once data by
     reading ``out_dir`` recursively; the `_batch_id` partition column also
-    gives per-batch lineage for audits/backfills."""
+    gives per-batch lineage for audits/backfills.
+
+    Trigger: pass ``processing_time`` (e.g. ``"30 seconds"``) for a
+    CONTINUOUS micro-batch pipeline on a live source; the default
+    (``None`` → availableNow) drains what exists and stops — the
+    batch-drain/backfill mode (r2 review: a live kafka pipeline must not
+    silently one-shot)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df if transform is None else transform(batch_df)
         out.write.mode("overwrite").parquet(f"{out_dir}/_batch_id={batch_id}")
 
-    return (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_idempotent_sink(spark: SparkSession, out_dir: str) -> DataFrame:

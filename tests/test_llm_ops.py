@@ -71,11 +71,15 @@ def test_minhash_lsh_recalls_near_dups(spark, corpus_dir):
 
 
 def test_lsh_gate_recalls_all_exact_jaccard_pairs(spark, sf_dir):
-    """The registered q_dedup_ngram_jaccard is LSH-gated (16 bands × 2 rows):
+    """The registered q_dedup_ngram_jaccard is LSH-gated (32 bands × 2 rows):
     its result must still equal the CORPUS-WIDE exact formulation — i.e. the
-    candidate set ⊇ every θ≥0.2 pair. Verified against the ungated exact
-    shingle self-join on the real testdata."""
-    from finegourmet_spark.operators.dedup import normalized_text, shingles
+    candidate set ⊇ every θ≥NEAR_DUP_THETA pair. Verified against the
+    ungated exact shingle self-join on the real testdata."""
+    from finegourmet_spark.operators.dedup import (
+        NEAR_DUP_THETA,
+        normalized_text,
+        shingles,
+    )
 
     gated = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -99,7 +103,7 @@ def test_lsh_gate_recalls_all_exact_jaccard_pairs(spark, sf_dir):
                     "jaccard"
                 ),
             )
-            .filter(F.col("jaccard") >= 0.2)
+            .filter(F.col("jaccard") >= NEAR_DUP_THETA)
         ).collect()
     }
     assert gated == exact  # gate loses no pair and invents none
