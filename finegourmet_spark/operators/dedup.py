@@ -132,18 +132,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division. Only candidate pairs ever pay the exact comparison; the
     corpus-wide work is the linear MinHash signature pass.
 
-    Gate-vs-oracle honesty (r2 review finding): LSH capture probability is
-    1-(1-θ²)^32 — at the θ=0.5 decision threshold that is 1-1e-4; at the
-    0.2 threshold this query previously claimed it would be only ~73%, so
-    the registered semantics are the STANDARD near-dup threshold θ≥0.5
-    where the gate is effectively complete (and exact: ≈1e-13 at the
-    θ≥0.9 pairs the generator emits). Recall vs the ungated corpus-wide
-    exact formulation is asserted in tests/test_llm_ops.py."""
+    Gate-vs-oracle honesty (r2 review + r2 advisor): LSH capture probability
+    is 1-(1-θ^r)^b. The r2 config (32 bands × 2 rows) missed a pair at the
+    θ=0.5 decision threshold with probability ~1e-4 — deterministic per
+    dataset, so on unlucky data the exact oracle could diverge. This config
+    is 64 bands × 2 rows (128 hashes): miss probability 0.75^64 ≈ 1e-8 at
+    θ=0.5 and ≈1e-26 at the θ≥0.9 pairs the generator emits — beyond any
+    driver tolerance by a wide margin, at 2× the (still linear, still
+    text-free) signature shuffle. Recall vs the ungated corpus-wide exact
+    formulation is asserted in tests/test_llm_ops.py."""
     docs = t(spark, sf_dir, "documents")
     d = spread(docs).select("doc_id", shingles(normalized_text()).alias("sh")).filter(
         F.size("sh") > 0
     )
-    banded = minhash_banded(docs, n_hashes=64, n_bands=32)
+    banded = minhash_banded(docs, n_hashes=128, n_bands=64)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -1203,7 +1203,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_conditional",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 100000) AS n_big,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'P') AS any_partial,

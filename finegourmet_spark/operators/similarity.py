@@ -232,13 +232,20 @@ def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
                 take = min(TOP_K, len(cand_ids))
                 if take == 0:
                     continue
-                # partial top-k inside the batch (ties keep lowest id later)
-                part = np.argsort(-cand_sims, kind="stable")[: take + TOP_K]
+                # partial top-k inside the batch. Keep EVERYTHING at or above
+                # the boundary similarity — a plain [:take] slice in batch
+                # order could cut a tied neighbor with a lower id, breaking
+                # exact parity with the global lowest-id tie-break (r2
+                # advisor finding). Ties are bounded: sims are rounded to 6
+                # decimals, so the >= threshold keeps a small superset.
+                order = np.argsort(-cand_sims, kind="stable")
+                boundary = cand_sims[order[min(take, len(order)) - 1]]
+                keep = cand_sims >= boundary
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cand_ids[part],
-                        "cos_sim": cand_sims[part],
+                        "neighbor_id": cand_ids[keep],
+                        "cos_sim": cand_sims[keep],
                     }
                 )
 

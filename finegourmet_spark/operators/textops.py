@@ -293,7 +293,7 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(time_bucket(INTERVAL '1 hour', minute_start) AS TIMESTAMP) AS hour_start,
            event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(SUM(val) AS DOUBLE) AS total_value
     FROM minute_agg
     GROUP BY 1, 2
@@ -489,7 +489,7 @@ PACK_BUDGET = 256
     )
     SELECT CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM packed

@@ -37,11 +37,16 @@ def _spread_bits(x: Column) -> Column:
 
 
 def zvalue(a: Column, b: Column, a_min: int, a_max: int, b_min: int, b_max: int) -> Column:
-    """Morton z-value of two integral columns, min/max-normalized to 32-bit
+    """Morton z-value of two integral columns, min/max-normalized to 31-bit
     grid coordinates first (z-order needs comparable bit-weights per
     dimension; raw domains of different magnitudes would let one column
-    dominate). Nulls map to grid 0 (sort first, prune like a value)."""
-    scale = (1 << 32) - 1
+    dominate). Nulls map to grid 0 (sort first, prune like a value).
+
+    31-bit (not 32-bit) grid: b's spread bits are shifted left by 1, so a
+    32-bit grid would park b's top bit on bit 63 — the long sign bit — and
+    signed ordering would sort b's upper half before its lower half. With 31
+    bits the highest occupied bit is 61 and signed sort == unsigned Morton."""
+    scale = (1 << 31) - 1
 
     def norm(c: Column, lo: int, hi: int) -> Column:
         if hi <= lo:

@@ -63,9 +63,73 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
+def _canon_arrow_type(t: str) -> str:
+    """Canonical type tag for a DuckDB Arrow field. Int widths collapse to
+    one tag — the driver is proven tolerant of int32-vs-int64 (r2: q_pivot,
+    q_window_rank etc. were hash-green with rank() int32 vs DuckDB BIGINT) —
+    but decimal-vs-int is NOT tolerated (r2: q_pack_sequences hash-failed on
+    DuckDB HUGEINT → decimal128(38,0) vs Spark BIGINT)."""
+    t = t.replace("large_string", "string").replace("large_utf8", "string")
+    t = t.replace("utf8", "string")
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"):
+        return "int"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t
+
+
+def _canon_spark_type(dt) -> str:
+    import pyspark.sql.types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date32[day]"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal128({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<item: {_canon_spark_type(dt.elementType)}>"
+    return str(dt)
+
+
+def type_problems(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Compare Spark schema vs the DuckDB oracle's Arrow schema (canonical
+    tags). The value comparison in ``compare`` stringifies, so an int-typed
+    Spark column vs a HUGEINT/decimal oracle column passes locally but fails
+    the driver's dtype-sensitive hash — this catches it before a round ends."""
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+        oschema = con.execute(oracle_sql).fetch_arrow_table().schema
+    finally:
+        con.close()
+    otypes = {f.name: _canon_arrow_type(str(f.type)) for f in oschema}
+    stypes = {f.name: _canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    if set(otypes) != set(stypes):
+        return [f"columns differ: spark={sorted(stypes)} oracle={sorted(otypes)}"]
+    return [
+        f"type mismatch on {k}: spark={stypes[k]} oracle={otypes[k]}"
+        for k in sorted(stypes)
+        if stypes[k] != otypes[k]
+    ]
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty ⇒ parity)."""
-    problems: list[str] = []
+    problems: list[str] = list(type_problems(spark_df, oracle_sql, sf_dir))
     srows = spark_df.collect()
     scols = spark_df.columns
     ocols, orows = run_oracle(oracle_sql, sf_dir)

@@ -1,0 +1,55 @@
+"""Determinism stress for the two-phase hierarchical scan (VERDICT r2 #2).
+
+q_pack_sequences' r2 driver hash-fail was ultimately an oracle typing issue
+(HUGEINT vs BIGINT), but the verdict also asked for hard evidence that the
+``_two_phase`` machinery (functions/ids.py) is repetition- and parallelism-
+invariant: repartitionByRange samples boundaries, so any re-materialization
+drift between the totals job and the output job would desynchronize ``_pid``
+from the collected offsets. These tests run the operator many times and
+across partition widths and assert bit-identical canonical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finegourmet_spark.functions.ids import dense_ids, running_total
+from finegourmet_spark.operators.registry import QUERIES
+from tests.oracle_harness import canonical_rows
+
+
+def _canon(df) -> tuple:
+    return tuple(canonical_rows(df.columns, [tuple(r) for r in df.collect()]))
+
+
+def test_pack_sequences_20x_repetition_stable(spark, sf_dir):
+    """20 independent evaluations of q_pack_sequences must be identical —
+    each call re-runs the full two-phase plan (new checkpoint, newly sampled
+    range boundaries)."""
+    results = {_canon(QUERIES["q_pack_sequences"](spark, sf_dir)) for _ in range(20)}
+    assert len(results) == 1
+
+
+def test_running_total_stable_across_partition_widths(spark, sf_dir):
+    """running_total must give the same global cumsum regardless of how many
+    range partitions the two-phase scan uses (1, 2, 3, 7, 8, 32)."""
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n"))
+    )
+    results = {
+        _canon(running_total(toks, ["doc_id"], "n", "cum", num_partitions=n))
+        for n in (1, 2, 3, 7, 8, 32)
+    }
+    assert len(results) == 1
+
+
+def test_dense_ids_stable_across_partition_widths(spark, sf_dir):
+    """dense_ids must equal row_number() over the total order for every
+    partition width."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    results = {
+        _canon(dense_ids(c, ["c_custkey"], "id", num_partitions=n))
+        for n in (1, 2, 5, 8, 32)
+    }
+    assert len(results) == 1
