@@ -160,6 +160,48 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path_factory):
+    """Star query over the month-partitioned fact (star/load.py::write_fact)
+    must prune fact partitions at RUNTIME from the filtered dim side —
+    `dynamicpruningexpression` in the scan's PartitionFilters (SURVEY §4;
+    VERDICT r2 item 6). At 100 TB this is the difference between scanning
+    one month and scanning the whole table when the month predicate only
+    exists on the dimension."""
+    from pyspark.sql import functions as F
+
+    from finegourmet_spark.star.load import write_fact
+
+    out = str(tmp_path_factory.mktemp("dpp"))
+    fact = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("Sale_ID"),
+            F.col("o_orderdate").alias("Date"),
+            F.col("o_totalprice").alias("Amount"),
+        )
+    )
+    write_fact(fact, out)
+    fact_p = spark.read.parquet(f"{out}/Fact_Sales")
+
+    # month dimension with the quarter attribute; the query filters ONLY the
+    # dim — the fact's partition predicate must come from the join at runtime
+    dim_month = (
+        fact_p.select("Sale_Month").distinct()
+        .withColumn("quarter", F.quarter(F.to_date(F.concat("Sale_Month", F.lit("-01")))))
+    )
+    q = (
+        fact_p.join(dim_month.filter(F.col("quarter") == 1), "Sale_Month")
+        .groupBy("Sale_Month")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = plan_of(q)
+    scan_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruningexpression" in l for l in scan_filters), plan
+    # and the pruned result is right: only Q1 months survive
+    months = {r["Sale_Month"][5:7] for r in q.collect()}
+    assert months <= {"01", "02", "03"} and months
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     """Identically-bucketed tables join with ZERO Exchange — the write-time
     shuffle investment that big recurring joins amortize at 100 TB."""
