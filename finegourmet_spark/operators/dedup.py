@@ -61,8 +61,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(col: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a document, as an array<string>.
+def shingle_seq(col: F.Column, n: int = 3) -> F.Column:
+    """POSITIONAL word n-gram shingles of a document (duplicates kept, in
+    token order), as an array<string> — element i is the shingle starting at
+    token i. Winnowing/LM operators need the sequence; set-based dedup uses
+    ``shingles`` (the distinct projection of this).
 
     Built from collection-level zip_with + slice (JVM-side, no UDF): shingle
     i = tokens[i] ⊕ tokens[i+1] ⊕ … ⊕ tokens[i+n-1], produced by folding
@@ -81,7 +84,13 @@ def shingles(col: F.Column, n: int = 3) -> F.Column:
         # incomplete trailing shingles become null and are filtered below
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingles(col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a document, as an array<string>
+    (the set view of ``shingle_seq`` — see there for the construction)."""
+    return F.array_distinct(shingle_seq(col, n))
 
 
 # DuckDB twin of `shingles` (3-gram): list_transform over range is end-exclusive
@@ -490,3 +499,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wcnt = Window.partitionBy("simhash")
     return sigs.select("doc_id", "simhash", F.count("*").over(wcnt).alias("bucket_size"))
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents
+    ), old AS (
+      SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0
+    ), ranked AS (
+      SELECT doc_id, content_hash,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rk,
+             content_hash IN (SELECT content_hash FROM old) AS dup_of_corpus
+      FROM h WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, content_hash, dup_of_corpus,
+           rk > 1 AS dup_in_batch,
+           (NOT dup_of_corpus) AND rk = 1 AS keep
+    FROM ranked
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the production shape: a new ingest batch is
+    deduplicated against the already-curated corpus (and within itself)
+    without ever rescanning corpus text. The corpus side is represented by
+    its 16-byte digest set (at 100 TB that digest table is what you persist
+    between refreshes); the batch joins it on the digest and window-ranks
+    within itself. Here "corpus" = even doc_ids, "batch" = odd doc_ids, a
+    deterministic stand-in for two ingest generations.
+
+    Flags per batch doc: dup_of_corpus (digest already curated),
+    dup_in_batch (a lower-id batch doc has the same digest), keep (neither).
+
+    Scale shape: both sides shuffle ONLY (digest, doc_id); the left join and
+    the window share the content_hash partitioning, so one exchange per
+    side. No text moves, no driver materialization."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+    old_hashes = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("content_hash")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        batch.join(old_hashes, "content_hash", "left")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("in_corpus", F.lit(False)).alias("dup_of_corpus"),
+            (F.col("rk") > 1).alias("dup_in_batch"),
+            (
+                ~F.coalesce("in_corpus", F.lit(False)) & (F.col("rk") == 1)
+            ).alias("keep"),
+        )
+    )

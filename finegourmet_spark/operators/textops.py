@@ -751,3 +751,314 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: term weighting, fingerprinting, LM scoring, mixing
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             round(tf.tf * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf FROM ranked WHERE rk <= {TFIDF_TOP}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf keyword extraction: top-{3} terms per document by
+    tf·ln((N+1)/(df+1)), ties broken lexicographically. The ranking runs on
+    the ROUNDED score (4 decimals) so engines with last-ulp ln() differences
+    still order identically.
+
+    Scale shape: TWO shuffles total, no tf⋈df join. The token stream is
+    repartitioned on term ONCE; hash(term) satisfies the clustered
+    distribution of both the (doc_id, term) tf-aggregate and the df window
+    above it (df = COUNT(*) OVER (PARTITION BY term) on the tf table — one
+    row per containing doc, so the window count IS the document frequency),
+    so no exchange separates them (plan-asserted in test_plan_shapes.py).
+    The only other shuffle is the final per-doc ranking window. N (one row)
+    is a broadcast cross join, never a driver round-trip in the plan."""
+    from pyspark.sql.window import Window
+
+    from finegourmet_spark.operators.dedup import normalized_text
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .repartition("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w_term = Window.partitionBy("term")
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .drop("rk")
+    )
+
+
+WINNOW_W = 4  # winnowing window: shingle positions per window
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h,
+             greatest(len(t) - 2, 0) AS n_sh
+      FROM tk, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+    ), w AS (
+      SELECT doc_id, pos, n_sh,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS fp
+      FROM sh
+    )
+    SELECT doc_id, fp, COUNT(*) AS n_windows
+    FROM w WHERE pos <= n_sh - {WINNOW_W}
+    GROUP BY 1, 2
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every positional 3-gram shingle, slide a
+    {WINNOW_W}-wide window over the hash sequence, keep each window's MIN —
+    guaranteeing any shared run of ≥ w+k-1 tokens between two documents
+    shares a fingerprint, with ~2/(w+1) selection density. The portable hash
+    is the md5 hex string (lexicographic MIN is identical on every engine;
+    integer rolling hashes are engine-specific).
+
+    Scale shape: explode positional shingles → ONE doc_id-keyed shuffle
+    feeding both window passes (count + sliding min) → per-doc fingerprint
+    distinct. Shuffle carries (doc_id, pos, 32-byte hash); window state is
+    {WINNOW_W} rows. Docs shorter than w+2 tokens yield no full window and
+    drop out (standard winnowing semantics)."""
+    from pyspark.sql.window import Window
+
+    from finegourmet_spark.operators.dedup import normalized_text, shingle_seq
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.posexplode(shingle_seq(normalized_text(), 3)).alias("pos", "sh")
+    ).select("doc_id", "pos", F.md5("sh").alias("h"))
+    w_doc = Window.partitionBy("doc_id")
+    w_slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        sh.withColumn("n_sh", F.count("*").over(w_doc))
+        .withColumn("fp", F.min("h").over(w_slide))
+        .filter(F.col("pos") <= F.col("n_sh") - WINNOW_W)
+    )
+    return fps.groupBy("doc_id", "fp").agg(F.count("*").alias("n_windows"))
+
+
+LM_PPM_SCALE = 1000000
+
+
+@query(
+    "q_lm_bigram_score",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+    ), cb AS (
+      SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1
+    ), cu AS (
+      SELECT tok, COUNT(*) AS cu
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+            FROM documents)
+      GROUP BY 1
+    ), v AS (
+      SELECT COUNT(*) AS v FROM cu
+    ), pb AS (
+      SELECT cb.bigram,
+             CAST(floor({LM_PPM_SCALE}.0 * (cb.cb + 1) / (cu.cu + v.v)) AS BIGINT)
+               AS p_ppm
+      FROM cb JOIN cu ON split_part(cb.bigram, ' ', 1) = cu.tok CROSS JOIN v
+    )
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(pb.p_ppm), 3) AS avg_p_ppm
+    FROM bg JOIN pb USING (bigram)
+    GROUP BY 1
+    """,
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditional bigram LM scoring (the KenLM-counts shape): build
+    add-one-smoothed bigram probabilities P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)
+    from the corpus itself, then score each document by its mean bigram
+    probability — the perplexity-style quality signal used to filter
+    low-likelihood text. Probabilities are kept as FLOORED parts-per-million
+    integers: every engine computes bigint arithmetic + one IEEE division
+    identically, whereas ln() differs in the last ulp across libm
+    implementations (a real deployment reports ln-space perplexity; the ppm
+    scale is a deliberate cross-engine-determinism choice).
+
+    Scale shape: two count passes (bigram, unigram — both map-side combined)
+    → counts join keyed on the leading token → doc scoring join keyed on the
+    bigram. Vocabulary size V (one row) broadcasts. No window, no driver
+    materialization; everything shuffles on count-table keys, never text."""
+    from finegourmet_spark.operators.dedup import normalized_text, shingle_seq
+
+    d = t(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(shingle_seq(normalized_text(), 2)).alias("bigram"))
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    cu = (
+        d.select(F.explode(F.split(normalized_text(), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = cu.agg(F.count("*").alias("v"))
+    pb = (
+        cb.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(cu, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.floor(
+                F.lit(LM_PPM_SCALE) * (F.col("cb") + 1) / (F.col("cu") + F.col("v"))
+            )
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+    )
+    return (
+        bg.join(pb, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("p_ppm"), 3).alias("avg_p_ppm"),
+        )
+    )
+
+
+MIX_BUDGET = 200
+MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "fr": 0.15, "de": 0.1}
+MIX_DEFAULT_W = 0.05
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())
+
+
+@query(
+    "q_domain_mixture",
+    oracle=f"""
+    WITH weights(lang, w) AS (VALUES {_MIX_VALUES}),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS mix_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, mix_rank
+    FROM ranked LEFT JOIN weights USING (lang)
+    WHERE mix_rank <= CAST(floor(CAST(COALESCE(w, {MIX_DEFAULT_W}) AS DOUBLE)
+                                 * {MIX_BUDGET}) AS BIGINT)
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling (the DoReMi/data-mixing primitive): each
+    language gets floor(weight × budget) documents, chosen by the same
+    deterministic md5 permutation as q_sample_stratified — so the sampled
+    corpus hits a TARGET domain mixture regardless of the raw corpus skew,
+    reproducibly on any engine/cluster/run. Unknown domains fall back to a
+    small default weight instead of silently dropping.
+
+    Scale shape: one shuffle on lang (the window), weights broadcast; quota
+    comparison is a projection. At 100 TB weights come from a config table
+    and the budget is per-epoch tokens, not doc counts — same plan."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    weights = d.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in MIX_WEIGHTS.items()], "lang string, w double"
+    )
+    wspec = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = F.floor(
+        F.coalesce("w", F.lit(MIX_DEFAULT_W)) * MIX_BUDGET
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(wspec).alias("mix_rank"))
+        .join(F.broadcast(weights), "lang", "left")
+        .filter(F.col("mix_rank") <= quota)
+        .select("doc_id", "lang", "mix_rank")
+    )
+
+
+SEQLEN_BIN = 64
+
+
+@query(
+    "q_seqlen_histogram",
+    oracle=f"""
+    WITH n AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST((n_tokens // {SEQLEN_BIN}) * {SEQLEN_BIN} AS BIGINT) AS bin_start,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM((n_tokens // {SEQLEN_BIN} + 1) * {SEQLEN_BIN} - n_tokens)
+                AS BIGINT) AS padding_waste
+    FROM n GROUP BY 1
+    """,
+)
+def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram with per-bin padding waste: how many tokens
+    a pad-to-bin-boundary batching scheme would burn per length bin — the
+    planning input for choosing packing (q_pack_sequences) vs padding, and
+    for sizing the context window. Pure projection + one hash agg."""
+    d = t(spark, sf_dir, "documents")
+    n = d.select(F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    bin_start = (F.floor(F.col("n_tokens") / SEQLEN_BIN) * SEQLEN_BIN).cast("bigint")
+    pad = (
+        (F.floor(F.col("n_tokens") / SEQLEN_BIN) + 1) * SEQLEN_BIN - F.col("n_tokens")
+    ).cast("bigint")
+    return (
+        n.select(bin_start.alias("bin_start"), "n_tokens", pad.alias("pad"))
+        .groupBy("bin_start")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("pad").cast("bigint").alias("padding_waste"),
+        )
+    )

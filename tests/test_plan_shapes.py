@@ -160,6 +160,36 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def _tree_of(plan: str) -> str:
+    return plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+
+
+def _plain_exchanges(tree: str) -> int:
+    return sum(
+        1
+        for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
+    )
+
+
+def test_tfidf_single_term_shuffle(spark, sf_dir):
+    """q_tfidf_topterms: hash(term) from the explicit repartition must
+    satisfy BOTH the tf aggregate and the df window — exactly 3 plain
+    exchanges total (term repartition, the metadata-scale N count, the final
+    per-doc window), no tf⋈df join exchange."""
+    tree = _tree_of(plan_of(QUERIES["q_tfidf_topterms"](spark, sf_dir)))
+    assert _plain_exchanges(tree) == 3, tree
+    assert "SortMergeJoin" not in tree  # df comes from a window, not a join
+
+
+def test_winnow_single_doc_shuffle(spark, sf_dir):
+    """q_winnow_fingerprints: one doc_id shuffle feeds the count window, the
+    sliding-min window AND the final (doc_id, fp) aggregate — hash(doc_id)
+    satisfies all three."""
+    tree = _tree_of(plan_of(QUERIES["q_winnow_fingerprints"](spark, sf_dir)))
+    assert _plain_exchanges(tree) == 1, tree
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path_factory):
     """Star query over the month-partitioned fact (star/load.py::write_fact)
     must prune fact partitions at RUNTIME from the filtered dim side —
