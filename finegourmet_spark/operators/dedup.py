@@ -182,8 +182,39 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("jaccard") >= NEAR_DUP_THETA)
 
 
-_CC_ORACLE = f"""
-WITH RECURSIVE sh AS (
+CC_MAX_ROUNDS = 15  # shared bound: Spark loop errors out past this
+
+
+def _cc_oracle() -> str:
+    """DuckDB oracle for q_dedup_clusters: the same min-label propagation as
+    the Spark loop, UNROLLED to CC_MAX_ROUNDS materialized rounds.
+
+    An earlier formulation used a recursive-CTE transitive closure
+    (reach = node × every reachable label, global UNION-dedup per step) —
+    exact, but O(Σ cluster_size²) state: on an sf1 corpus with 10-copy
+    duplicate clusters it ran ~35 minutes while the Spark side took 24 s.
+    Min-label unrolling is O(edges) per round × 15 rounds and is EXACTLY
+    equivalent whenever the Spark query succeeds at all: the Spark loop
+    raises after the same 15 rounds, and rounds past convergence are
+    no-ops, so both sides settle on identical labels."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, CC_MAX_ROUNDS + 1):
+        cur = f"l{i}"
+        rounds.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT l.node, least(l.label, COALESCE(x.m, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.u AS node, MIN(n.label) AS m
+    FROM edges e JOIN {prev} n ON n.node = e.v
+    GROUP BY e.u
+  ) x USING (node)
+)"""
+        )
+        prev = cur
+    chained = ",\n".join(rounds)
+    return f"""
+WITH sh AS (
   SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -195,20 +226,20 @@ WITH RECURSIVE sh AS (
   SELECT p.da, p.db FROM pair_inter p
   JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
   WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= {NEAR_DUP_THETA}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT da AS u, db AS v FROM pairs UNION ALL SELECT db, da FROM pairs
-), reach(node, label) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-), cc AS (
-  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
-)
-SELECT doc_id, cluster_id,
-       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-       (doc_id = cluster_id) AS is_survivor
-FROM cc
+), l0 AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+),
+{chained}
+SELECT node AS doc_id, label AS cluster_id,
+       COUNT(*) OVER (PARTITION BY label) AS cluster_size,
+       (node = label) AS is_survivor
+FROM {prev}
 """
+
+
+_CC_ORACLE = _cc_oracle()
 
 
 @query("q_dedup_clusters", oracle=_CC_ORACLE)
@@ -240,7 +271,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(15):  # >= diameter of any real dup cluster
+    for _ in range(CC_MAX_ROUNDS):  # >= diameter of any real dup cluster
         neigh = (
             edges.join(labels, edges["v"] == labels["doc_id"])
             .groupBy("u")

@@ -70,6 +70,65 @@ def read_idempotent_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_incremental(
+    stream_df: DataFrame,
+    out_dir: str,
+    digest_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    processing_time: str | None = None,
+):
+    """Streaming incremental exact dedup — the live twin of
+    ``q_dedup_incremental``: each micro-batch is deduplicated within itself
+    (lowest ``id_col`` survives) and against the PERSISTED digest store of
+    everything accepted so far, then appends its accepted rows and its new
+    digests. The corpus text is never re-read — only the 16-byte digest set
+    grows, which is what a 100 TB ingest keeps hot between batches.
+
+    Exactly-once on plain parquet: both sinks partition by ``_batch_id``
+    with per-batch overwrite, and the digest read EXCLUDES the current
+    batch's own partition — a replayed batch therefore sees exactly the
+    store state of its first attempt and reproduces identical output
+    (idempotence is asserted in tests/test_streaming.py)."""
+    from pyspark.sql.window import Window
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn(
+            "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
+        )
+        w = Window.partitionBy("content_hash").orderBy(id_col)
+        in_batch = (
+            hashed.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        try:
+            seen = (
+                spark.read.option("basePath", digest_dir)
+                .parquet(f"{digest_dir}/_batch_id=*")
+                .filter(F.col("_batch_id") != batch_id)
+                .select("content_hash")
+            )
+            fresh = in_batch.join(seen, "content_hash", "left_anti")
+        except Exception:  # first batch: digest store does not exist yet
+            fresh = in_batch
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/_batch_id={batch_id}")
+        fresh.select("content_hash").write.mode("overwrite").parquet(
+            f"{digest_dir}/_batch_id={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(dedup_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rocksdb_conf() -> dict[str, str]:
     """Session confs switching streaming state to the RocksDB provider —
     off-heap, spillable, changelog-checkpointed. Apply via
