@@ -916,7 +916,8 @@ LM_PPM_SCALE = 1000000
       FROM cb JOIN cu ON split_part(cb.bigram, ' ', 1) = cu.tok CROSS JOIN v
     )
     SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(AVG(pb.p_ppm), 3) AS avg_p_ppm
+           CAST(floor(1000.0 * SUM(pb.p_ppm) / COUNT(*)) AS BIGINT)
+             AS avg_p_ppm_milli
     FROM bg JOIN pb USING (bigram)
     GROUP BY 1
     """,
@@ -960,12 +961,19 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_ppm"),
         )
     )
+    # mean reported as floor(1000·sum/count): exact long sum + one IEEE
+    # division + floor — deterministic across engines. round(avg, 3) is NOT:
+    # at sf1 a doc hit sum/count = …; round() then differs between Java
+    # (BigDecimal.valueOf rounds the SHORTEST decimal repr of the double)
+    # and C/DuckDB (rounds the exact binary value) — observed .388 vs .387.
     return (
         bg.join(pb, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg("p_ppm"), 3).alias("avg_p_ppm"),
+            F.floor(F.lit(1000) * F.sum("p_ppm") / F.count("*"))
+            .cast("bigint")
+            .alias("avg_p_ppm_milli"),
         )
     )
 
