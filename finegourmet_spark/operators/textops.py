@@ -1070,3 +1070,50 @@ def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pad").cast("bigint").alias("padding_waste"),
         )
     )
+
+
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+    ), pairs AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM words, unnest(range(1, greatest(length(w) - 1, 0) + 1)) AS u(i)
+      WHERE length(w) > 1
+    )
+    SELECT pair, COUNT(*) AS n_occ
+    FROM pairs GROUP BY pair
+    ORDER BY n_occ DESC, pair LIMIT {BPE_TOP_MERGES}
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration: corpus-frequency counts of adjacent
+    character pairs inside words (every word OCCURRENCE counts, as in real
+    BPE training), top-{20} merge candidates with a lexicographic tie-break.
+    Pairs with q_tokenize_bpe (the application side) to cover both halves of
+    the tokenizer lifecycle; subsequent merge rounds re-segment with the
+    chosen merge and repeat the same plan.
+
+    Scale shape: explode (word stream), explode (pair positions) — both
+    generate-only — then ONE hash agg with map-side combine on the tiny
+    pair-vocabulary key space, finished by TakeOrderedAndProject (no global
+    sort, no single-partition window)."""
+    d = t(spark, sf_dir, "documents")
+    from finegourmet_spark.operators.dedup import normalized_text
+
+    words = d.select(
+        F.explode(F.split(normalized_text(), " ")).alias("w")
+    ).filter(F.length("w") > 1)
+    pairs = words.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
