@@ -96,3 +96,41 @@ def test_repair_sale_id_preserves_unrepairable(spark, values):
             assert out == f"{prefix_match.group(1)}01{v[5:]}"
         else:
             assert out == v
+
+
+# --- winnowing guarantee (round 3) -----------------------------------------
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+    min_size=8,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(doc_a=WORDS, doc_b=WORDS, run=st.lists(
+    st.sampled_from(["shared1", "shared2", "shared3", "shared4", "shared5",
+                     "shared6", "shared7", "shared8"]),
+    min_size=6, max_size=10))
+def test_winnowing_shared_run_guarantee(spark, doc_a, doc_b, run):
+    """The winnowing theorem (Schleimer et al.): two documents sharing a
+    token run of length >= w + k - 1 (here 4 + 3 - 1 = 6) MUST share at
+    least one fingerprint. Inject the same run into two random documents
+    and assert a common (fp) value."""
+    import pandas as pd
+
+    from finegourmet_spark.operators.textops import q_winnow_fingerprints
+
+    text_a = " ".join(doc_a[:4] + run + doc_a[4:])
+    text_b = " ".join(doc_b[:7] + run + doc_b[7:])
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [text_a, text_b]})
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        fps = q_winnow_fingerprints(spark, d).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, "shared >=6-token run must share a winnowing fingerprint"
