@@ -775,21 +775,27 @@ TFIDF_TOP = 3
       SELECT COUNT(*) AS n_docs FROM documents
     ), scored AS (
       SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
-             round(tf.tf * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+             CAST(tf.tf * CAST(floor(1000000.0 *
+                    ln((nd.n_docs + 1.0) / (dfreq.df + 1.0))) AS BIGINT)
+                  AS BIGINT) AS tfidf_micro
       FROM tf JOIN dfreq USING (term) CROSS JOIN nd
     ), ranked AS (
       SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term) AS rk
+                                   ORDER BY tfidf_micro DESC, term) AS rk
       FROM scored
     )
-    SELECT doc_id, term, tf, tfidf FROM ranked WHERE rk <= {TFIDF_TOP}
+    SELECT doc_id, term, tf, tfidf_micro FROM ranked WHERE rk <= {TFIDF_TOP}
     """,
 )
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf keyword extraction: top-{3} terms per document by
-    tf·ln((N+1)/(df+1)), ties broken lexicographically. The ranking runs on
-    the ROUNDED score (4 decimals) so engines with last-ulp ln() differences
-    still order identically.
+    tf · idf_micro, ties broken lexicographically, where idf_micro =
+    floor(1e6·ln((N+1)/(df+1))) — the idf is quantized to integer
+    micro-nats ONCE per distinct df, then the score is exact integer
+    arithmetic. round(tf·ln(...), k) would inherit the Java-vs-C
+    round()-of-double divergence (see q_lm_bigram_score); floor of the
+    scaled ln flips only if ln lands within an ulp of a 1e-6 grid point,
+    and only per distinct df value rather than per output row (r3 review).
 
     Scale shape: TWO shuffles total, no tf⋈df join. The token stream is
     repartitioned on term ONCE; hash(term) satisfies the clustered
@@ -812,6 +818,9 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     w_term = Window.partitionBy("term")
     n_docs = d.agg(F.count("*").alias("n_docs"))
+    idf_micro = F.floor(
+        F.lit(1000000.0) * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    ).cast("long")
     scored = (
         tf.withColumn("df", F.count("*").over(w_term))
         .crossJoin(F.broadcast(n_docs))
@@ -819,12 +828,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "term",
             "tf",
-            F.round(
-                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
-            ).alias("tfidf"),
+            (F.col("tf") * idf_micro).cast("long").alias("tfidf_micro"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), "term")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TFIDF_TOP)
@@ -1052,9 +1059,13 @@ SEQLEN_BIN = 64
 )
 def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length histogram with per-bin padding waste: how many tokens
-    a pad-to-bin-boundary batching scheme would burn per length bin — the
-    planning input for choosing packing (q_pack_sequences) vs padding, and
-    for sizing the context window. Pure projection + one hash agg."""
+    BUCKETED padding would burn per length bin — every sequence in bin b is
+    padded to the bin's exclusive upper boundary (b+1)·64, the fixed-batch-
+    shape policy. Deliberately NOT pad-to-next-multiple: a doc of exactly
+    64 tokens sits in bin [64, 128) and pays 64 padding, because its batch
+    shape is 128 (r3 review asked to pin this down). The planning
+    input for choosing packing (q_pack_sequences) vs padding. Pure
+    projection + one hash agg."""
     d = t(spark, sf_dir, "documents")
     n = d.select(F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
     bin_start = (F.floor(F.col("n_tokens") / SEQLEN_BIN) * SEQLEN_BIN).cast("bigint")

@@ -51,10 +51,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # session_window: merge sessions map-side BEFORE the shuffle (the
         # combiner analogue for session aggregation) — the shuffle carries
-        # per-partition merged sessions, not raw events. Measured −20% on
-        # q_stream_session at sf0.1; at 100 TB event volume it is the
-        # difference between shuffling events and shuffling sessions.
-        .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
+        # per-partition merged sessions, not raw events. At 100 TB event
+        # volume that is the difference between shuffling events and
+        # shuffling sessions. (r3 review caught a misspelled key here —
+        # 'streaming.' segment is required; unknown SQL confs are accepted
+        # silently, so always verify with spark.conf.get.)
+        .config(
+            "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+            "true",
+        )
         # --- Python boundary: Arrow-vectorized, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep driver logs readable

@@ -93,11 +93,16 @@ def stream_dedup_incremental(
     (idempotence is asserted in tests/test_streaming.py)."""
     from pyspark.sql.window import Window
 
+    from pyspark.errors import AnalysisException
+
+    from finegourmet_spark.operators.dedup import normalized_text
+
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashed = batch_df.withColumn(
-            "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
-        )
+        # the SAME normalization as the batch twin q_dedup_incremental —
+        # shared helper, so the persisted digest store can never silently
+        # diverge from the batch dedup's hashes (r3 review)
+        hashed = batch_df.withColumn("content_hash", F.md5(normalized_text(text_col)))
         w = Window.partitionBy("content_hash").orderBy(id_col)
         in_batch = (
             hashed.withColumn("_rk", F.row_number().over(w))
@@ -112,12 +117,21 @@ def stream_dedup_incremental(
                 .select("content_hash")
             )
             fresh = in_batch.join(seen, "content_hash", "left_anti")
-        except Exception:  # first batch: digest store does not exist yet
+        except AnalysisException as ex:
+            # ONLY the missing-store case may fall back to "first batch";
+            # any other failure (transient FS error, corrupt footer) must
+            # fail the batch — swallowing it would accept duplicates AND
+            # poison the digest store (r3 review)
+            if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                raise
             fresh = in_batch
         fresh.write.mode("overwrite").parquet(f"{out_dir}/_batch_id={batch_id}")
-        fresh.select("content_hash").write.mode("overwrite").parquet(
-            f"{digest_dir}/_batch_id={batch_id}"
-        )
+        # derive digests by re-reading the just-written output — the full
+        # dedup plan (store scan + window + anti-join) executes ONCE, not
+        # once per sink (r3 review)
+        spark.read.parquet(f"{out_dir}/_batch_id={batch_id}").select(
+            "content_hash"
+        ).write.mode("overwrite").parquet(f"{digest_dir}/_batch_id={batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(dedup_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -113,7 +113,14 @@ def type_problems(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
             )
-        oschema = con.execute(oracle_sql).fetch_arrow_table().schema
+        # LIMIT 0 wrapper: the schema comes from planning, not a second full
+        # execution of the oracle (r3 review — the unrolled CC oracle is
+        # expensive; compare() already runs it once for the values)
+        oschema = (
+            con.execute(f"SELECT * FROM ({oracle_sql}) LIMIT 0")
+            .fetch_arrow_table()
+            .schema
+        )
     finally:
         con.close()
     otypes = {f.name: _canon_arrow_type(str(f.type)) for f in oschema}

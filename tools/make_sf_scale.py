@@ -66,8 +66,6 @@ def build(factor: int, out_dir: Path) -> None:
     strides = _strides()
     for table, cols in KEYS.items():
         src = pq.read_table(SRC / f"{table}.parquet")
-        if not cols or factor == 1:
-            copies = [src] if not cols else []
         if not cols:
             pq.write_table(src, out_dir / f"{table}.parquet")
             print(f"{table}: {src.num_rows} rows (single copy)")
