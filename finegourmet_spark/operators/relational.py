@@ -1483,3 +1483,32 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("lang")).alias("lang_val"),
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority, o_orderkey)
+             AS priorities
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    GROUP BY o_custkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG / STRING_AGG): per-key
+    concatenation in an EXPLICIT total order — collect_list alone is
+    partition-order-nondeterministic, so the list is built as
+    (sort_key, value) structs, array_sort'ed (struct comparison is
+    field-order lexicographic), then projected and joined. One hash agg;
+    the per-group sort is bounded by group size, not corpus size."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    pairs = F.collect_list(F.struct("o_orderpriority", "o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(
+            F.transform(F.array_sort(pairs), lambda s: s["o_orderpriority"]), ","
+        ).alias("priorities"),
+    )
