@@ -442,3 +442,36 @@ def test_stream_dedup_incremental_across_batches_and_replay(spark, tmp_path):
     )
     replay = in_batch.join(seen, "content_hash", "left_anti")
     assert sorted(r["doc_id"] for r in replay.collect()) == before == [1, 2]
+
+
+def test_stream_dedup_incremental_corrupt_store_fails_loud(spark, tmp_path):
+    """A digest store that EXISTS but cannot be read must fail the batch
+    (not silently fall back to first-batch semantics — that would accept
+    duplicates and poison the store; r3 review)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from finegourmet_spark.streaming.sinks import stream_dedup_incremental
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "accepted")
+    dig = str(tmp_path / "digests")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(f"{dig}/_batch_id=0")
+    with open(f"{dig}/_batch_id=0/part-corrupt.parquet", "w") as f:
+        f.write("this is not parquet")
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_dedup_incremental(stream, out, dig, ckpt)
+    with _pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    # nothing was accepted and the store was not extended
+    assert not os.path.exists(f"{out}/_batch_id=0")
