@@ -62,17 +62,19 @@ _PRIORITY = [
     # ---- slots 37-42: NEW round-3 operators (oracle-backed) ------------
     "q_tfidf_topterms", "q_winnow_fingerprints", "q_lm_bigram_score",
     "q_domain_mixture", "q_seqlen_histogram", "q_dedup_incremental",
-    # ---- slots 43-45: NEW round-3 audio / BPE training / LISTAGG -------
+    # ---- slots 43-47: NEW round-3 ops (audio, BPE, LISTAGG, semantic CC,
+    # co-occurrence) ------------------------------------------------------
     "q_multimodal_audio", "q_bpe_merge_candidates", "q_string_agg",
-    # ---- slots 46-49: r2-green re-confirmations (streaming twins — the
-    # session-merge conf changed this round) ------------------------------
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark_dedup",
+    "q_dedup_semantic_clusters", "q_cooccurrence_lift",
+    # ---- slots 48-49: r2-green re-confirmations (the two streaming twins
+    # whose surroundings changed in r2/r3) --------------------------------
+    "q_stream_session", "q_stream_watermark_dedup",
     # ---- slot 50 boundary ----------------------------------------------
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)
     "q_agg_approx", "q_dedup_minhash",
     # driver-green in r02 (rows in CORRECTNESS_r02.json; q_star_join is
     # additionally smoke-run every round as entry())
+    "q_stream_tumbling", "q_stream_sliding",
     "q_star_join", "q_similarity_topk", "q_agg_basic", "q_dedup_exact",
     "q_text_stats", "q_topk", "q_join_inner", "q_udf_scalar", "q_udaf",
     "q_scan_project", "q_filter_pred", "q_case_when", "q_string_funcs",

@@ -185,18 +185,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ROUNDS = 15  # shared bound: Spark loop errors out past this
 
 
-def _cc_oracle() -> str:
-    """DuckDB oracle for q_dedup_clusters: the same min-label propagation as
-    the Spark loop, UNROLLED to CC_MAX_ROUNDS materialized rounds.
+def unrolled_min_label_sql(prelude: str, node_source: str, id_name: str) -> str:
+    """DuckDB connected-components oracle builder: the same min-label
+    propagation as ``min_label_components``, UNROLLED to CC_MAX_ROUNDS
+    materialized rounds over a caller-supplied pair graph.
+
+    ``prelude``: CTE definitions text ending with a CTE named ``pairs``
+    with columns (da, db). ``node_source``: SELECT producing one ``node``
+    column (all graph nodes, including isolated ones). ``id_name``: output
+    id column name.
 
     An earlier formulation used a recursive-CTE transitive closure
     (reach = node × every reachable label, global UNION-dedup per step) —
     exact, but O(Σ cluster_size²) state: on an sf1 corpus with 10-copy
     duplicate clusters it ran ~35 minutes while the Spark side took 24 s.
     Min-label unrolling is O(edges) per round × 15 rounds and is EXACTLY
-    equivalent whenever the Spark query succeeds at all: the Spark loop
-    raises after the same 15 rounds, and rounds past convergence are
-    no-ops, so both sides settle on identical labels."""
+    equivalent whenever the Spark loop succeeds at all: the loop raises
+    after the same 15 rounds, and rounds past convergence are no-ops, so
+    both sides settle on identical labels."""
     rounds = []
     prev = "l0"
     for i in range(1, CC_MAX_ROUNDS + 1):
@@ -214,7 +220,21 @@ def _cc_oracle() -> str:
         prev = cur
     chained = ",\n".join(rounds)
     return f"""
-WITH sh AS (
+WITH {prelude},
+edges AS MATERIALIZED (
+  SELECT da AS u, db AS v FROM pairs UNION ALL SELECT db, da FROM pairs
+), l0 AS (
+  SELECT node, node AS label FROM ({node_source})
+),
+{chained}
+SELECT node AS {id_name}, label AS cluster_id,
+       COUNT(*) OVER (PARTITION BY label) AS cluster_size,
+       (node = label) AS is_survivor
+FROM {prev}
+"""
+
+
+_CC_PRELUDE = f"""sh AS (
   SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -226,61 +246,53 @@ WITH sh AS (
   SELECT p.da, p.db FROM pair_inter p
   JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
   WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= {NEAR_DUP_THETA}
-), edges AS MATERIALIZED (
-  SELECT da AS u, db AS v FROM pairs UNION ALL SELECT db, da FROM pairs
-), l0 AS (
-  SELECT doc_id AS node, doc_id AS label FROM documents
-),
-{chained}
-SELECT node AS doc_id, label AS cluster_id,
-       COUNT(*) OVER (PARTITION BY label) AS cluster_size,
-       (node = label) AS is_survivor
-FROM {prev}
-"""
+)"""
+
+_CC_ORACLE = unrolled_min_label_sql(
+    _CC_PRELUDE, "SELECT doc_id AS node FROM documents", "doc_id"
+)
 
 
-_CC_ORACLE = _cc_oracle()
+def min_label_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: per round,
+    every node takes min(own label, neighbors' labels). Labels only
+    decrease, so Σlabels is a strictly-decreasing convergence witness
+    costing one tiny agg per round (no extra join). Each round is one
+    equi-join + one hash-agg, lineage cut by an eager localCheckpoint (the
+    standard Spark iterative-algorithm pattern). Rounds needed = graph
+    diameter — tiny for near-dup clusters; adversarial diameters switch to
+    ``connected_components_alternating`` (O(log² n) rounds).
 
+    ``pairs``: one row per undirected edge. ``nodes``: one row per node
+    (column ``id_col``; isolated nodes label themselves). Returns
+    (id_col, cluster_id) with cluster_id = the component's min node id.
+    Raises after CC_MAX_ROUNDS non-converged rounds — the same bound the
+    unrolled SQL oracle carries, keeping both sides exactly equivalent."""
+    a, b = pair_cols
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).unionAll(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # evaluate the pair gate once
 
-@query("q_dedup_clusters", oracle=_CC_ORACLE)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER resolution: connected components over the θ≥0.5
-    exact-Jaccard pair graph, canonical survivor = the component's minimum
-    doc_id — the step that turns pair lists into actual keep/drop decisions
-    (transitive chains a→b→c collapse to ONE cluster even when a↔c alone
-    is below threshold).
-
-    Distributed shape: iterative min-label propagation — per round, every
-    node takes min(own label, neighbors' labels); labels only decrease, so
-    Σlabels is a strictly-decreasing convergence witness costing one tiny
-    agg per round (no extra join). Each round is one equi-join + one
-    hash-agg, lineage cut by an eager localCheckpoint (the standard Spark
-    iterative-algorithm pattern). Rounds needed = graph diameter — tiny for
-    near-dup clusters; a 100 TB deployment with adversarial chain lengths
-    switches to the large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14), which is the
-    same per-round plan shape with provably O(log² n) rounds."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    edges = edges.localCheckpoint(eager=True)  # evaluate the LSH gate once
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+    labels = nodes.select(id_col, F.col(id_col).alias("cluster_id")).localCheckpoint(
         eager=True
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(CC_MAX_ROUNDS):  # >= diameter of any real dup cluster
         neigh = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
+            edges.join(labels, edges["v"] == labels[id_col])
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+            labels.join(neigh, labels[id_col] == neigh["u"], "left")
             .select(
-                "doc_id",
+                id_col,
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
@@ -292,7 +304,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     else:
-        raise RuntimeError("q_dedup_clusters: label propagation did not converge")
+        raise RuntimeError("min_label_components: label propagation did not converge")
+    return labels
+
+
+@query("q_dedup_clusters", oracle=_CC_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the θ≥0.5
+    exact-Jaccard pair graph, canonical survivor = the component's minimum
+    doc_id — the step that turns pair lists into actual keep/drop decisions
+    (transitive chains a→b→c collapse to ONE cluster even when a↔c alone
+    is below threshold).
+
+    Distributed shape: ``min_label_components`` (iterative min-label
+    propagation, localCheckpoint rounds, Σlabels convergence witness —
+    see there; a 100 TB deployment with adversarial chain lengths switches
+    to the large-star/small-star contraction, Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    labels = min_label_components(pairs, docs, "doc_id")
     from pyspark.sql.window import Window
 
     wc = Window.partitionBy("cluster_id")

@@ -504,3 +504,49 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+
+
+EMB_NEAR_THETA = 0.35  # matches q_dedup_embedding's near-dup threshold
+
+_SEMANTIC_CC_PRELUDE = f"""pairs AS (
+  SELECT a.vec_id AS da, b.vec_id AS db
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_THETA}
+)"""
+
+
+def _semantic_cc_oracle() -> str:
+    from finegourmet_spark.operators.dedup import unrolled_min_label_sql
+
+    return unrolled_min_label_sql(
+        _SEMANTIC_CC_PRELUDE, "SELECT vec_id AS node FROM embeddings", "vec_id"
+    )
+
+
+@query("q_dedup_semantic_clusters", oracle=_semantic_cc_oracle())
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup cluster resolution: connected components over the
+    embedding-cosine near-dup pair graph (q_dedup_embedding, θ≥0.35 within
+    coarse cells), canonical survivor = the component's minimum vec_id —
+    the semantic twin of q_dedup_clusters (surface-form n-gram clusters).
+    A training pipeline runs BOTH: n-gram CC catches copy-edit dups,
+    semantic CC catches paraphrase dups; each yields keep/drop decisions
+    via the same transitive-closure semantics.
+
+    Distributed shape: the shared ``min_label_components`` loop (one
+    equi-join + hash-agg per round, localCheckpoint lineage cuts) over the
+    cell-bucketed pair join — no all-pairs stage anywhere; the oracle is
+    the shared 15-round unrolled min-label SQL."""
+    from finegourmet_spark.operators.dedup import min_label_components
+
+    pairs = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    nodes = t(spark, sf_dir, "embeddings").select("vec_id")
+    labels = min_label_components(pairs, nodes, "vec_id", pair_cols=("vec_a", "vec_b"))
+    wc = Window.partitionBy("cluster_id")
+    return labels.select(
+        "vec_id",
+        "cluster_id",
+        F.count("*").over(wc).alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
+    )

@@ -1128,3 +1128,89 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "pair")
         .limit(BPE_TOP_MERGES)
     )
+
+
+COOC_VOCAB = 32
+
+
+@query(
+    "q_cooccurrence_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+      ) WHERE length(term) > 0
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT {COOC_VOCAB}
+    ), pres AS (
+      SELECT toks.doc_id, toks.term, vocab.df FROM toks JOIN vocab USING (term)
+    ), nd AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             a.df AS df_a, b.df AS df_b, COUNT(*) AS n_docs_both
+      FROM pres a JOIN pres b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT term_a, term_b, CAST(n_docs_both AS BIGINT) AS n_docs_both,
+           CAST(floor(1000000.0 * n_docs_both * nd.n / (df_a * df_b))
+                AS BIGINT) AS lift_ppm
+    FROM pairs CROSS JOIN nd
+    """,
+)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence statistics over the frequent vocabulary — the
+    counting core of PMI / GloVe-style association mining: document-level
+    presence pairs among the top-{32} terms, scored by lift
+    P(a,b)/(P(a)P(b)) in FLOORED parts-per-million (integer-exact
+    cross-engine, like q_lm_bigram_score; real deployments take ln of it
+    for PMI — same counts).
+
+    Scale shape: distinct (doc, term) presence → df counts → top-K vocab
+    (TakeOrdered, broadcast) → presence self-join CO-PARTITIONED on doc_id
+    (per-doc pair fan-out bounded by K²/2, so the join is linear in docs)
+    → one hash agg on the ≤K²/2 pair key space. Corpus size never appears
+    squared anywhere."""
+    from finegourmet_spark.operators.dedup import normalized_text
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), "term").limit(COOC_VOCAB)
+    pres = toks.join(F.broadcast(vocab), "term").select("doc_id", "term", "df")
+    nd = d.agg(F.count("*").alias("n"))
+    a = pres.alias("a")
+    b = pres.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_docs_both"))
+    )
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "term_a",
+        "term_b",
+        "n_docs_both",
+        F.floor(
+            F.lit(1000000) * F.col("n_docs_both") * F.col("n")
+            / (F.col("df_a") * F.col("df_b"))
+        )
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )
