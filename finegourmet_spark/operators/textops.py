@@ -1170,17 +1170,20 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, like q_lm_bigram_score; real deployments take ln of it
     for PMI — same counts).
 
-    Scale shape: distinct (doc, term) presence → df counts → top-K vocab
-    (TakeOrdered, broadcast) → presence self-join CO-PARTITIONED on doc_id
-    (per-doc pair fan-out bounded by K²/2, so the join is linear in docs)
-    → one hash agg on the ≤K²/2 pair key space. Corpus size never appears
-    squared anywhere."""
+    Scale shape: the token stream is repartitioned on doc_id ONCE —
+    hash(doc_id) satisfies the (doc_id, term) distinct AND both sides of
+    the presence self-join (same subset-clustering trick as
+    q_tfidf_topterms), so no further exchange separates them
+    (plan-asserted). Per-doc pair fan-out is bounded by K²/2, so the join
+    is linear in docs; the final agg runs on the ≤K²/2 pair key space.
+    Corpus size never appears squared anywhere."""
     from finegourmet_spark.operators.dedup import normalized_text
 
     d = t(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
         .filter(F.length("term") > 0)
+        .repartition("doc_id")
         .distinct()
     )
     dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))

@@ -190,6 +190,23 @@ def test_winnow_single_doc_shuffle(spark, sf_dir):
     assert _plain_exchanges(tree) == 1, tree
 
 
+def test_cooccurrence_self_join_shares_doc_exchange(spark, sf_dir):
+    """q_cooccurrence_lift: hash(doc_id) from the explicit repartition must
+    satisfy the (doc_id, term) distinct AND both presence self-join sides —
+    no SortMergeJoin side may re-exchange on doc_id. Expected plain
+    exchanges: the doc_id repartition (reused by both join branches), the
+    df-count agg for the vocab, the vocab TakeOrdered collect path, and the
+    final pair agg."""
+    tree = _tree_of(plan_of(QUERIES["q_cooccurrence_lift"](spark, sf_dir)))
+    # the join itself must not introduce hashpartitioning(doc_id) exchanges
+    # beyond the single explicit repartition (which both branches reuse)
+    doc_exchanges = [
+        l for l in tree.splitlines()
+        if "Exchange hashpartitioning(doc_id" in l and "Reused" not in l
+    ]
+    assert len(doc_exchanges) <= 1, tree
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path_factory):
     """Star query over the month-partitioned fact (star/load.py::write_fact)
     must prune fact partitions at RUNTIME from the filtered dim side —
