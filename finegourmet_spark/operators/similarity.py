@@ -149,6 +149,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
+# the embedding near-dup decision threshold — single-sourced: used by
+# q_dedup_embedding's filter AND oracle, and by the semantic-CC oracle
+# prelude below, so the twin queries cannot silently diverge (r3 review)
+EMB_NEAR_THETA = 0.35
+
+
 @query(
     "q_dedup_embedding",
     oracle=f"""
@@ -158,7 +164,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {EMB_NEAR_THETA}
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +193,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.35)
+        .filter(F.col("cos_sim") >= EMB_NEAR_THETA)
     )
 
 
@@ -505,8 +511,6 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-
-EMB_NEAR_THETA = 0.35  # matches q_dedup_embedding's near-dup threshold
 
 _SEMANTIC_CC_PRELUDE = f"""pairs AS (
   SELECT a.vec_id AS da, b.vec_id AS db

@@ -1157,7 +1157,8 @@ COOC_VOCAB = 32
       GROUP BY 1, 2, 3, 4
     )
     SELECT term_a, term_b, CAST(n_docs_both AS BIGINT) AS n_docs_both,
-           CAST(floor(1000000.0 * n_docs_both * nd.n / (df_a * df_b))
+           CAST(floor(1000000.0 * n_docs_both * nd.n /
+                      (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)))
                 AS BIGINT) AS lift_ppm
     FROM pairs CROSS JOIN nd
     """,
@@ -1206,13 +1207,22 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs_both"))
     )
+    # lift computed ENTIRELY in double with the same left-assoc op order as
+    # the oracle: ((1e6·c)·N)/(df_a·df_b). Long products would wrap silently
+    # past 2^63 on the Spark side while DuckDB promotes to HUGEINT — double
+    # everywhere makes the engines BIT-EQUAL at any scale (identical IEEE
+    # sequence), with values exact while intermediates stay below 2^53
+    # (c·N ≤ 9e9, i.e. corpora to ~billions of docs; beyond that both
+    # engines round identically rather than diverging) — r3 review.
     return pairs.crossJoin(F.broadcast(nd)).select(
         "term_a",
         "term_b",
         "n_docs_both",
         F.floor(
-            F.lit(1000000) * F.col("n_docs_both") * F.col("n")
-            / (F.col("df_a") * F.col("df_b"))
+            F.lit(1000000.0)
+            * F.col("n_docs_both").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
         )
         .cast("bigint")
         .alias("lift_ppm"),

@@ -46,16 +46,45 @@ def test_domain_mixture_quotas_exact(spark, sf_dir):
         assert got.get(lang, 0) == min(quota, n_avail), lang
 
 
-def test_cooccurrence_counts_bounded_by_df(spark, sf_dir):
-    """n_docs_both ≤ min(df_a, df_b) and lift consistent with the counts
-    (recomputed in Python from the same row)."""
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    rows = QUERIES["q_cooccurrence_lift"](spark, sf_dir).collect()
-    assert rows
-    # reconstruct df from lift: lift_ppm = floor(1e6 * c * N / (df_a*df_b))
-    for r in rows:
-        assert 0 < r["n_docs_both"] <= n_docs
-        assert r["lift_ppm"] >= 0
+def test_cooccurrence_matches_python_model(spark, sf_dir):
+    """Full independent recomputation in plain Python (sf0.001 corpus is
+    small): distinct presence, df, top-K vocab with the (df DESC, term)
+    tie-break, per-doc pairs, counts, and the exact double-arithmetic lift
+    — every output row and value must match the Spark result exactly."""
+    from collections import Counter
+    from itertools import combinations
+
+    from finegourmet_spark.operators.textops import COOC_VOCAB
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    presence = {
+        d: {t for t in txt.strip().lower().split(" ") if t} for d, txt in docs.items()
+    }
+    df = Counter(t for terms in presence.values() for t in terms)
+    vocab = dict(sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:COOC_VOCAB])
+    n = len(docs)
+    c: Counter = Counter()
+    for terms in presence.values():
+        for a, b in combinations(sorted(t for t in terms if t in vocab), 2):
+            c[(a, b)] += 1
+    expected = {
+        (a, b): (
+            cnt,
+            int(math.floor(1000000.0 * cnt * n / (float(vocab[a]) * float(vocab[b])))),
+        )
+        for (a, b), cnt in c.items()
+    }
+    got = {
+        (r["term_a"], r["term_b"]): (r["n_docs_both"], r["lift_ppm"])
+        for r in QUERIES["q_cooccurrence_lift"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # and the documented bound: n_docs_both ≤ min(df_a, df_b)
+    for (a, b), (cnt, _) in got.items():
+        assert cnt <= min(vocab[a], vocab[b])
 
 
 def test_incremental_dedup_consistent_with_exact(spark, sf_dir):
