@@ -87,3 +87,33 @@ def test_negative_zero_is_not_positive_zero():
     via the same IEEE operations, so distinguishing is the safe default.
     This documents (rather than hides) the sharp edge."""
     assert _canon(-0.0) != _canon(0.0)
+
+
+def test_type_problems_catches_hugeint_vs_bigint(spark, sf_dir):
+    """The r2 q_pack_sequences failure class: an uncast SUM of ints reaches
+    Arrow as decimal128 from DuckDB while Spark emits BIGINT — the schema
+    check must flag it, and must NOT flag driver-tolerated int-width
+    differences (int32 rank vs BIGINT)."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import type_problems
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy(
+        "o_orderpriority"
+    ).agg(F.count("*").alias("n"), F.sum("o_custkey").alias("s"))
+
+    flagged = type_problems(
+        df,
+        "SELECT o_orderpriority, COUNT(*) AS n, SUM(o_custkey) AS s "
+        "FROM orders GROUP BY 1",
+        sf_dir,
+    )
+    assert any("s" in p and "decimal128" in p for p in flagged), flagged
+
+    clean = type_problems(
+        df,
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(o_custkey) AS BIGINT) AS s FROM orders GROUP BY 1",
+        sf_dir,
+    )
+    assert clean == [], clean
