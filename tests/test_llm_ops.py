@@ -275,3 +275,23 @@ def test_multimodal_decode_stub_contract(spark, sf_dir):
     row = d.limit(1).collect()[0]
     assert isinstance(row["payload"], (bytes, bytearray))
     assert row["meta"]["mime"] == "text/plain"
+
+
+def test_min_label_raises_on_diameter_beyond_round_bound(spark):
+    """min_label_components must FAIL LOUD (not return wrong labels) on a
+    graph whose diameter exceeds CC_MAX_ROUNDS — the same 50-chain the
+    alternating large-star/small-star variant handles in O(log² n)."""
+    import pytest as _pytest
+
+    from finegourmet_spark.operators.dedup import (
+        CC_MAX_ROUNDS,
+        min_label_components,
+    )
+
+    n = CC_MAX_ROUNDS * 3 + 5  # diameter safely past the bound
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain, nodes, "doc_id")
