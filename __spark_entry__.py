@@ -24,6 +24,8 @@ import finegourmet_spark.operators.dedup  # noqa: F401
 import finegourmet_spark.operators.similarity  # noqa: F401
 import finegourmet_spark.operators.skew  # noqa: F401
 import finegourmet_spark.operators.temporal  # noqa: F401
+import finegourmet_spark.operators.eventflow  # noqa: F401
+import finegourmet_spark.operators.graph  # noqa: F401
 import finegourmet_spark.operators.multimodal  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
@@ -68,10 +70,17 @@ _PRIORITY = [
     # co-occurrence) ------------------------------------------------------
     "q_multimodal_audio", "q_bpe_merge_candidates", "q_string_agg",
     "q_dedup_semantic_clusters", "q_cooccurrence_lift",
-    # ---- slots 48-49: r2-green re-confirmations (the two streaming twins
-    # whose surroundings changed in r2/r3) --------------------------------
-    "q_stream_session", "q_stream_watermark_dedup",
+    # ---- slots 48-49: NEW round-3 second-wave ops (funnel, PageRank) —
+    # first-time oracle evidence beats re-confirming r2-green streaming
+    # rows, so the streaming twins moved just past the boundary -----------
+    "q_funnel", "q_graph_pagerank",
     # ---- slot 50 boundary ----------------------------------------------
+    # round-3 second-wave ops that didn't fit the window — r4 rotation
+    # MUST promote these into slots 0-4 (they are oracle-backed and
+    # otherwise stay self-certified)
+    "q_retention_cohorts", "q_attribution", "q_graph_degree_dist",
+    # r2-green streaming twins (displaced re-confirmations)
+    "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)
     "q_agg_approx", "q_dedup_minhash",
     # driver-green in r02 (rows in CORRECTNESS_r02.json; q_star_join is

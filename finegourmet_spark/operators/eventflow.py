@@ -1,0 +1,278 @@
+"""Event-sequence analytics: ordered funnels, cohort retention, last-touch
+attribution.
+
+The reference family (product-analytics engines) exposes these as native
+verbs; none is a Spark built-in, but each decomposes into ONE user-keyed
+shuffle plus metadata-scale finalization — the shape that survives 100 TB of
+events:
+
+  * FUNNEL      — strict ordered view → click → purchase. Chained
+    min-over-prefix windows on ONE (user_id) partitioning: stage-k's
+    "earliest qualifying ts" window reads stage-(k-1)'s column, so three
+    Window operators share a single sort and a single exchange. The per-user
+    reduction that follows is co-partitioned (hash(user_id) already
+    satisfies it) — no second data-scale shuffle.
+  * RETENTION   — classic cohort triangle: distinct (user, day) activity,
+    cohort = first activity day, offset = days since cohort. Day-grain
+    collapse FIRST (the 100 TB trick: the window runs over ≤ one row per
+    user-day, not raw events), then a min-over-user window, then a
+    (cohort, offset) count.
+  * ATTRIBUTION — last-touch revenue attribution: every purchase credits
+    the user's most recent preceding click's channel (else 'direct').
+    Same union-then-window carry as q_join_asof (temporal.py:65), finished
+    by a channel-grain decimal revenue rollup.
+
+All three share the determinism rules in registry.py: total window orders
+(ts, event_id), decimal money aggregation, explicit survivor rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+# The funnel's step sequence over the events table's type vocabulary
+# (view/click/purchase/signup/error — TESTDATA.md).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+# Channel derivation for attribution: the synthetic props column is a JSON
+# object {"k": <int>}; k mod 4 buckets clicks into four stable channels.
+N_CHANNELS = 4
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w AS view_ts
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND view_ts IS NOT NULL
+                      THEN ts END) OVER w AS click_ts
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s3 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND click_ts IS NOT NULL
+                      THEN ts END) OVER w AS purchase_ts
+      FROM s2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), per_user AS (
+      SELECT user_id, min(view_ts) AS view_ts, min(click_ts) AS click_ts,
+             min(purchase_ts) AS purchase_ts
+      FROM s3 GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) FILTER (WHERE view_ts IS NOT NULL) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE click_ts IS NOT NULL) AS BIGINT) AS n2,
+             CAST(count(*) FILTER (WHERE purchase_ts IS NOT NULL) AS BIGINT) AS n3
+      FROM per_user
+    )
+    SELECT 1 AS stage, 'view' AS step, n1 AS n_users FROM tot
+    UNION ALL SELECT 2, 'click', n2 FROM tot
+    UNION ALL SELECT 3, 'purchase', n3 FROM tot
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view → click → purchase.
+
+    A user reaches stage k when a step-k event occurs strictly after (in the
+    total order (ts, event_id)) some event that completed stage k-1 — the
+    standard product-analytics "ordered funnel" semantics, deterministic
+    because the order is total.
+
+    Plan shape: one hash(user_id) exchange feeds THREE chained Window
+    operators (same partitioning + ordering ⇒ one sort) AND the per-user
+    aggregate (co-partitioned). The final 3-row stage summary is
+    metadata-scale."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        e.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & F.col("view_ts").isNotNull(),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("click_ts").isNotNull(),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("view_ts").alias("view_ts"),
+        F.min("click_ts").alias("click_ts"),
+        F.min("purchase_ts").alias("purchase_ts"),
+    )
+    tot = per_user.agg(
+        F.count(F.col("view_ts")).alias("n1"),
+        F.count(F.col("click_ts")).alias("n2"),
+        F.count(F.col("purchase_ts")).alias("n3"),
+    )
+    # 3-row unpivot of a 1-row frame: metadata-scale, not a data-scale stack
+    return tot.selectExpr(
+        "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3) "
+        "AS (stage, step, n_users)"
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), c AS (
+      SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ud
+    )
+    SELECT cohort_day, CAST(d - cohort_day AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM c
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted at each day-offset they return.
+
+    Scale posture: collapse to day grain FIRST — the distinct (user, day)
+    set is bounded by users × days regardless of raw event volume, so the
+    min-over-user window never sees event-scale rows. count(*) at the end
+    IS distinct users because (user, day) is unique by construction."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .distinct()
+    )
+    c = ud.withColumn(
+        "cohort_day", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    return c.groupBy(
+        F.col("cohort_day"), F.datediff("d", "cohort_day").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value,
+             CAST(json_extract(props, '$.k') AS INT) % {N_CHANNELS} AS ch
+      FROM events
+    ), u AS (
+      SELECT user_id, ts, event_id, 1 AS is_probe, value,
+             NULL::INT AS click_ch
+      FROM e WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0, NULL, ch
+      FROM e WHERE event_type = 'click'
+    ), lv AS (
+      SELECT user_id, is_probe, value,
+             last_value(click_ch IGNORE NULLS) OVER w AS attr_ch
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT COALESCE('ch' || CAST(attr_ch AS VARCHAR), 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+    FROM lv WHERE is_probe = 1
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most recent
+    preceding click's channel; purchases with no prior click are 'direct'.
+
+    Channel = json k mod {N_CHANNELS} (the synthetic props payload). Same
+    union-then-window carry as the as-of join (temporal.py:65) — ONE
+    hash(user_id) exchange, total tie order (ts, is_probe, event_id) with
+    equal-ts clicks sorting BEFORE the purchase (inclusive boundary) — then
+    a channel-grain decimal revenue rollup (registry.py rule 1)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        (F.get_json_object("props", "$.k").cast("int") % N_CHANNELS).alias("ch"),
+    )
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_probe"),
+        "value",
+        F.lit(None).cast("int").alias("click_ch"),
+    )
+    build = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ch").alias("click_ch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).select(
+        "is_probe",
+        "value",
+        F.last("click_ch", ignorenulls=True).over(w).alias("attr_ch"),
+    )
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .groupBy(
+            F.coalesce(
+                F.concat(F.lit("ch"), F.col("attr_ch").cast("string")),
+                F.lit("direct"),
+            ).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Graph analytics over a co-occurrence graph: degree distribution and a
+deterministic damped-mass centrality (PageRank-style), iterative with an
+EXACT unrolled-round DuckDB oracle.
+
+Graph construction: parts are nodes; an undirected edge connects two parts
+that co-occur in at least one order (the market-basket graph). Pairs per
+order are bounded by (items-per-order)², the same bounded fan-out argument
+as q_cooccurrence_lift (textops.py) — never an all-pairs product.
+
+Centrality arithmetic is INTEGER ONLY so the iterative result is
+bit-identical across engines (the q_lm_bigram_score lesson, BASELINE.md
+round-3 notes: never hash post-round doubles):
+
+    mass₀      = 1_000_000 per node
+    contrib    = mass div degree              (floor — both engines)
+    massₖ₊₁    = 150_000 + (17 · Σ contrib) div 20   (damping 0.85 exact)
+
+Dangling mass is structurally absent: edges are symmetric, so every node
+with out-degree has in-degree. This is a defined deterministic variant of
+damped PageRank (mass conservation is deliberately traded for floor-exact
+cross-engine parity), not a float PageRank approximation.
+
+The oracle unrolls the rounds as materialized CTEs — the same technique the
+connected-components oracle uses (dedup.py min-label rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+PR_ROUNDS = 3
+PR_INIT = 1_000_000
+PR_BASE = 150_000  # 0.15 · PR_INIT, the damping complement
+PR_TOPN = 20
+
+_EDGE_SQL = """
+    op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) — distinct directed edge list (both directions of each
+    undirected pair). The self-join rides ONE hash(ok) exchange: both sides
+    are the same plan, so Spark reuses the exchange (ReusedExchange), and
+    per-order fan-out is bounded by (items-per-order)²."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(src, d) — NODE-scale out-degree frame; consumers join it at node
+    scale (mass ⋈ deg), never annotating the edge list itself — the r3
+    timing lesson: the edge⋈deg join at edge scale doubled the build cost."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH {_EDGE_SQL}
+    SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first sanity
+    report any graph pipeline runs (spot skewed hubs BEFORE paying for an
+    iterative algorithm on them). Two chained aggregations, no join: the
+    only edge-scale shuffle is the degree count itself."""
+    deg = _degrees(_edges(spark, sf_dir))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def _pr_round_sql(k: int) -> str:
+    """One unrolled oracle round: m{k} ← propagate m{k-1}."""
+    return f"""
+    m{k} AS (
+      SELECT e.dst AS pk,
+             {PR_BASE} + (17 * SUM(m.mass // d.d)) // 20 AS mass
+      FROM edges e
+      JOIN m{k - 1} m ON e.src = m.pk
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    m0 AS (SELECT src AS pk, CAST({PR_INIT} AS BIGINT) AS mass FROM deg),
+    {",".join(_pr_round_sql(k) for k in range(1, PR_ROUNDS + 1))}
+    SELECT CAST(rank AS INT) AS rank, pk AS part_id, CAST(mass AS BIGINT) AS mass
+    FROM (
+      SELECT pk, mass,
+             row_number() OVER (ORDER BY mass DESC, pk) AS rank
+      FROM m{PR_ROUNDS}
+    ) WHERE rank <= {PR_TOPN}
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOPN} parts by damped-mass centrality after {PR_ROUNDS}
+    propagation rounds over the co-purchase graph.
+
+    Plan shape per round: the pinned edge list (localCheckpoint — lineage
+    would double per round otherwise, the CC lesson, dedup.py:204) is
+    pre-partitioned on src; the per-node contribution (mass div degree) is
+    resolved by a NODE-scale mass⋈deg join BEFORE touching edges, so each
+    round shuffles only node-scale frames to the edge join and the
+    contribution aggregate on dst; edge rows never re-exchange. Final
+    ranking is top-{PR_TOPN} (TakeOrdered path), with the {PR_TOPN}-row
+    rank window explicitly metadata-scale."""
+    spread = max(spark.sparkContext.defaultParallelism, 8)
+    ej = (
+        _edges(spark, sf_dir)
+        .repartition(spread, "src")
+        .localCheckpoint()  # pin: 3 rounds reuse this, lineage stays flat
+    )
+    deg = _degrees(ej).localCheckpoint()  # node-scale, reused every round
+    mass = deg.select("src", F.lit(PR_INIT).cast("long").alias("mass"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            mass.join(deg, "src")  # node ⋈ node, broadcast-scale per round
+            .select("src", F.expr("mass div d").alias("c"))
+        )
+        mass = (
+            ej.join(contrib, "src")
+            .groupBy("dst")
+            .agg(
+                (F.lit(PR_BASE) + F.expr("(17 * sum(c)) div 20"))
+                .cast("long")
+                .alias("mass")
+            )
+            .select(F.col("dst").alias("src"), "mass")
+        )
+    mass = mass.select(F.col("src").alias("pk"), "mass")
+    top = mass.orderBy(F.col("mass").desc(), F.col("pk")).limit(PR_TOPN)
+    # rank over PR_TOPN rows only — metadata-scale single partition by design
+    w = Window.orderBy(F.col("mass").desc(), F.col("pk"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("pk").alias("part_id"),
+        "mass",
+    )

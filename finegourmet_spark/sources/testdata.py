@@ -35,22 +35,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet scan because we return the raw declarative scan (no caching,
     no eager materialization).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as long (legacy flag) and truncate ns → µs —
-    the same truncation DuckDB applies when casting TIMESTAMP_NS to
-    TIMESTAMP, so both engines see identical µs values.
+    ``events.ts`` normalization is SCHEMA-ADAPTIVE because the driver has
+    shipped the column two ways across rounds (TIMESTAMP(NANOS) through r3,
+    plain TIMESTAMP(MICROS) after a regeneration):
+
+      * nanos layout — Spark's vectorized reader rejects nanos, so the
+        ``nanosAsLong`` legacy flag surfaces the column as LONG and we
+        truncate ns → µs, the same truncation DuckDB applies casting
+        TIMESTAMP_NS to TIMESTAMP, so both engines see identical µs values;
+      * micros layout — the scan yields TIMESTAMP_NTZ natively (the file is
+        written without UTC adjustment); we cast to TIMESTAMP (session-tz
+        UTC, pinned in session.py, so the instant is unchanged).
+
+    Either way callers — and the DuckDB oracles — see one schema:
+    µs-precision TimestampType.
 
     NB the ``nanosAsLong`` flag is a SESSION-level conf and stays set after
     the first events read (restoring it immediately would break the lazy
-    scan's execution): any later read of a DIFFERENT nanos-timestamp parquet
-    in the same session will also see longs. Acceptable for this engine —
-    the testdata has exactly one nanos column — but a mixed-precision lake
-    would need per-read normalization instead."""
+    scan's execution). It is a no-op for non-nanos files, so setting it
+    unconditionally is safe here; a mixed-precision lake would need
+    per-read normalization instead."""
     df = _read(spark, sf_dir, name)
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -50,13 +50,15 @@ def test_hll_rollup_estimates_match_exact(spark, sf_dir):
         (str(r["hour_start"]), r["event_type"]): r["n_users_est"]
         for r in QUERIES["q_hll_rollup"](spark, sf_dir).collect()
     }
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql.functions import date_trunc, timestamp_micros, expr
+    from pyspark.sql.functions import date_trunc
 
+    from finegourmet_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
     exact = {
         (str(r["h"]), r["event_type"]): r["n"]
         for r in e.select(
-            date_trunc("hour", timestamp_micros(expr("ts div 1000"))).alias("h"),
+            date_trunc("hour", "ts").alias("h"),
             "event_type",
             "user_id",
         )

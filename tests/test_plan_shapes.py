@@ -276,3 +276,59 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
         assert joined.count() == li.join(o, "l_orderkey").count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def _extended_tree(df) -> str:
+    """Pre-AQE physical tree from extended explain (operator details incl.
+    hashpartitioning keys are inline, unlike formatted mode)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue().split("== Physical Plan ==")[1]
+
+
+def test_funnel_one_event_scale_exchange(spark, sf_dir):
+    """q_funnel: the three chained stage windows and the per-user reduction
+    all ride ONE hash(user_id) exchange and ONE sort; the only other
+    exchange is the metadata-scale SinglePartition for the 3-row summary."""
+    tree = _extended_tree(QUERIES["q_funnel"](spark, sf_dir))
+    assert tree.count("Exchange hashpartitioning(user_id") == 1, tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+    assert tree.count("Window [") == 3, tree
+    assert tree.count("Sort [") == 1, tree
+
+
+def test_attribution_is_join_free_single_user_exchange(spark, sf_dir):
+    """q_attribution: last-touch credit is a union+window carry — no join
+    operator, one hash(user_id) exchange, then only the channel-grain agg."""
+    tree = _extended_tree(QUERIES["q_attribution"](spark, sf_dir))
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange hashpartitioning(user_id") == 1, tree
+
+
+def test_retention_collapses_to_day_grain_before_shuffle(spark, sf_dir):
+    """q_retention_cohorts: the distinct's map-side partial runs BEFORE its
+    exchange, so the first event-scale shuffle carries (user_id, day) rows
+    already collapsed per-partition — at 100 TB the shuffle is bounded by
+    users x days, not raw events."""
+    import re
+
+    tree = _extended_tree(QUERIES["q_retention_cohorts"](spark, sf_dir))
+    m = re.search(r"Exchange hashpartitioning\(user_id#\d+L?, d#\d+", tree)
+    assert m, tree
+    # the partial distinct aggregate must sit BELOW that exchange
+    below = tree[m.end():]
+    assert re.search(r"HashAggregate\(keys=\[user_id#\d+L?, d#\d+", below), tree
+    assert tree.count("Window [") == 1, tree
+
+
+def test_pagerank_no_cartesian_one_metadata_single_partition(spark, sf_dir):
+    """q_graph_pagerank executed plan: bounded-fanout self-join (never a
+    cartesian product) and at most one SinglePartition exchange — the
+    20-row rank window documented as metadata-scale."""
+    df = QUERIES["q_graph_pagerank"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
