@@ -26,6 +26,7 @@ import finegourmet_spark.operators.skew  # noqa: F401
 import finegourmet_spark.operators.temporal  # noqa: F401
 import finegourmet_spark.operators.eventflow  # noqa: F401
 import finegourmet_spark.operators.graph  # noqa: F401
+import finegourmet_spark.operators.quality  # noqa: F401
 import finegourmet_spark.operators.multimodal  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
@@ -75,10 +76,11 @@ _PRIORITY = [
     # rows, so the streaming twins moved just past the boundary -----------
     "q_funnel", "q_graph_pagerank",
     # ---- slot 50 boundary ----------------------------------------------
-    # round-3 second-wave ops that didn't fit the window — r4 rotation
-    # MUST promote these into slots 0-4 (they are oracle-backed and
+    # round-3 second/third-wave ops that didn't fit the window — r4 rotation
+    # MUST promote these into slots 0-6 (they are oracle-backed and
     # otherwise stay self-certified)
     "q_retention_cohorts", "q_attribution", "q_graph_degree_dist",
+    "q_graph_triangles", "q_timeseries_interpolate", "q_data_quality_audit",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

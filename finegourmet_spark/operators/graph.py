@@ -163,3 +163,102 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pk").alias("part_id"),
         "mass",
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    dd AS (SELECT src AS n, d FROM deg),
+    oriented AS (
+      SELECT e.src AS u, e.dst AS v, dv.d AS dv
+      FROM edges e
+      JOIN dd du ON e.src = du.n
+      JOIN dd dv ON e.dst = dv.n
+      WHERE (du.d < dv.d) OR (du.d = dv.d AND e.src < e.dst)
+    ),
+    wedges AS (
+      SELECT x.v AS b, y.v AS c
+      FROM oriented x JOIN oriented y ON x.u = y.u
+      WHERE (x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v)
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM wedges w JOIN oriented z ON w.b = z.u AND w.c = z.v
+    ),
+    sizes AS (
+      SELECT CAST((SELECT count(*) FROM dd) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM oriented) AS BIGINT) AS n_edges,
+             CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                ELSE (3000000 * n_triangles) // n_wedges END AS BIGINT)
+             AS closure_ppm
+    FROM sizes, tri
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global closure coefficient of the co-purchase
+    graph, via DEGREE-ORIENTED wedge counting (the MapReduce-era
+    Suri-Vassilvitskii / Cohen scheme): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only between each node's HIGHER-ordered neighbors, and close them
+    against the oriented edge list.
+
+    Why this survives 100 TB: orientation bounds each node's outgoing
+    fan-out by O(sqrt(m)) regardless of hub degree — a celebrity node with
+    10^6 co-purchases contributes wedges only through its (rare) neighbors
+    of even higher degree, so total wedge volume is O(m^{3/2}) instead of
+    the Σd² blowup a naive wedge join hits on skewed graphs. All three
+    legs are equi-joins (never a cartesian); the two degree annotations are
+    co-keyed edge-scale joins; closure_ppm = floor(3e6·tri/wedges) is
+    integer-exact in both engines (nonnegative operands — truncating `div`
+    equals flooring `//`).
+    """
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+    du = deg.select(F.col("src").alias("u_n"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v_n"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(du, edges["src"] == du["u_n"])
+        .join(dv, edges["dst"] == dv["v_n"])
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "dv")
+        .localCheckpoint()  # three consumers (wedges x2, closure) — pin once
+    )
+    x = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    y = oriented.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = x.join(y, "u").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # shuffle-hash, not sort-merge: the wedge side is O(m^1.5) rows and
+    # sorting it dominates the whole query; hash-building on the edge-scale
+    # closer side streams the wedges unsorted (sf1: 411M wedges vs 12M
+    # edges — the sort was the JVM-pressure hotspot)
+    n_tri = wedges.join(closer.hint("shuffle_hash"), ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    # scalar sizes are metadata-scale (single-row aggregates); cross-joining
+    # four 1-row frames is explicitly not a data-scale cartesian
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    out = (
+        n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
+    )
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(3000000 * n_triangles) div n_wedges"))
+        .cast("bigint")
+        .alias("closure_ppm"),
+    )

@@ -1,0 +1,133 @@
+"""Declarative data-quality audit — the expectations/constraint-check suite
+(Great-Expectations / Deequ family) every production 100 TB pipeline runs
+before publishing a table.
+
+One registered query evaluates a fixed check catalog over the TPC-H-ish
+tables and returns one row per check: (check_name, n_violations, passed).
+The catalog exercises the four constraint families that matter at scale:
+
+  * uniqueness   — primary-key duplicate count (orders.o_orderkey)
+  * completeness — NOT NULL violation count (orders.o_custkey)
+  * referential  — FK orphan count (lineitem.l_orderkey ∉ orders)
+  * domain/range — value-set and bound violations (o_orderstatus,
+                   l_quantity, events.value sign)
+
+Scale shape: every check is either a map-side-combined aggregate (the
+conditional counts collapse to one partial row per partition before the
+single metadata-scale exchange) or a co-keyed anti-join (the FK check —
+the same shuffle a production Deequ run pays). The final result unions
+1-row frames: metadata-scale by construction. No check ever materializes
+data-scale rows to the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+
+def _check(name: str, violations_col: DataFrame) -> DataFrame:
+    """Normalize a 1-row violations frame to (check_name, n_violations,
+    passed)."""
+    return violations_col.select(
+        F.lit(name).alias("check_name"),
+        F.col("v").cast("bigint").alias("n_violations"),
+        (F.col("v") == 0).alias("passed"),
+    )
+
+
+@query(
+    "q_data_quality_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders_pk_unique' AS check_name,
+             CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+      FROM (SELECT o_orderkey, count(*) AS n FROM orders
+            GROUP BY 1 HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'orders_custkey_complete',
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_status_domain',
+             CAST(count(*) FILTER
+                  (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             CAST(count(*) FILTER
+                  (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events_value_nonnegative',
+             CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
+      FROM events
+    )
+    SELECT check_name, n_violations, n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the constraint catalog; one row per check, ordered by the union
+    construction (the driver compare is order-insensitive)."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    events = t(spark, sf_dir, "events")
+
+    pk_dupes = _check(
+        "orders_pk_unique",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v")),
+    )
+    custkey_nulls = _check(
+        "orders_custkey_complete",
+        orders.agg(
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v")
+        ),
+    )
+    fk_orphans = _check(
+        "lineitem_fk_orders",
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+    )
+    status_domain = _check(
+        "orders_status_domain",
+        orders.agg(
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("v")
+        ),
+    )
+    qty_range = _check(
+        "lineitem_qty_range",
+        lineitem.agg(
+            F.count(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                )
+            ).alias("v")
+        ),
+    )
+    value_sign = _check(
+        "events_value_nonnegative",
+        events.agg(F.count(F.when(F.col("value") < 0, 1)).alias("v")),
+    )
+    return reduce(
+        DataFrame.unionByName,
+        [pk_dupes, custkey_nulls, fk_orphans, status_domain, qty_range, value_sign],
+    )

@@ -238,3 +238,124 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("session_start_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+@query(
+    "q_timeseries_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS c
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 2 = 0
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM spans
+    ), j AS (
+      SELECT s.user_id, s.h, hr.c
+      FROM spine s LEFT JOIN hourly hr USING (user_id, h)
+    ), w AS (
+      SELECT user_id, h, c,
+             last_value(c IGNORE NULLS) OVER wb AS pc,
+             last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wb AS ph,
+             first_value(c IGNORE NULLS) OVER wf AS nc,
+             first_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wf AS nh
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour,
+           CAST(CASE WHEN c IS NOT NULL THEN c
+                ELSE (pc * datediff('hour', h, nh) + nc * datediff('hour', ph, h))
+                     // datediff('hour', ph, nh)
+                END AS BIGINT) AS cents,
+           (c IS NULL) AS interpolated
+    FROM w
+    """,
+)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly purchase-revenue series per user with LINEAR INTERPOLATION of
+    missing hours — the hypertable `interpolate()`/`time_bucket_gapfill`
+    verb (reference family: continuous-aggregate gap fill), distributed.
+
+    Pipeline: hour-grain decimal-free totals (integer cents via
+    floor(value·100) — exact in both engines) → per-user hour spine
+    (sequence/explode, bounded by the user's own observed span, never a
+    global calendar cross-product) → LOCF carry (last ignorenulls) and
+    next-observation carry (first ignorenulls over the forward frame) →
+    integer linear interpolation.
+
+    Cross-engine exactness: the interpolated value is
+    (prev·(nh−h) + next·(h−ph)) ÷ (nh−ph) in integer arithmetic; the
+    numerator is nonnegative (cents ≥ 0), so Spark's truncating `div` and
+    DuckDB's flooring `//` agree — the negative-operand divergence between
+    the two engines (BASELINE.md round-3 notes) can't occur by
+    construction.
+
+    Scale shape: ONE hash(user_id) exchange carries the hourly frame
+    through the spine join and both windows (all user-partitioned); the
+    spine explode fans out to span-hours per user, linear in output size.
+    The even-user sample keeps the driver compare at tens of k rows — the
+    operator itself has no scale-dependent constant."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 0))
+        .groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("c"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = j.select(
+        "user_id",
+        "h",
+        "c",
+        F.last("c", ignorenulls=True).over(wb).alias("pc"),
+        F.last(F.when(F.col("c").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wb)
+        .alias("ph"),
+        F.first("c", ignorenulls=True).over(wf).alias("nc"),
+        F.first(F.when(F.col("c").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wf)
+        .alias("nh"),
+    )
+    return carried.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.when(F.col("c").isNotNull(), F.col("c"))
+        .otherwise(
+            F.expr(
+                "(pc * timestampdiff(HOUR, h, nh) + nc * timestampdiff(HOUR, ph, h)) "
+                "div timestampdiff(HOUR, ph, nh)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents"),
+        F.col("c").isNull().alias("interpolated"),
+    )

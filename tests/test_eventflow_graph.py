@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 from decimal import Decimal
 
+import __spark_entry__  # noqa: F401  — populates the full registry
 from finegourmet_spark.operators.eventflow import FUNNEL_STEPS, N_CHANNELS
 from finegourmet_spark.operators.graph import (
     PR_BASE,
@@ -154,3 +155,88 @@ def test_pagerank_matches_python_model(spark, sf_dir):
     assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
         range(1, len(expected) + 1)
     )
+
+
+def test_triangles_matches_python_model(spark, sf_dir):
+    """Triangle census recomputed naively: every unordered node triple
+    check is fine at sf0.001 scale via neighbor-set intersection."""
+    edges = _copurchase_edges(spark, sf_dir)
+    neigh = defaultdict(set)
+    for a, b in edges:
+        neigh[a].add(b)
+    undirected = {(a, b) for a, b in edges if a < b}
+    n_tri = 0
+    for a, b in undirected:
+        n_tri += len([c for c in neigh[a] & neigh[b] if c > b])
+    # wedge count under degree orientation: sum C(out-deg, 2)
+    deg = Counter(src for src, _ in edges)
+    out = Counter()
+    for a, b in edges:
+        if (deg[a], a) < (deg[b], b):
+            out[a] += 1
+    n_wedges = sum(d * (d - 1) // 2 for d in out.values())
+    row = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(undirected)
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == n_tri
+    assert row["closure_ppm"] == (3000000 * n_tri) // n_wedges
+
+
+def test_interpolate_matches_python_model(spark, sf_dir):
+    """Linear interpolation recomputed with exact integer arithmetic."""
+    import math
+
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in _events(spark, sf_dir):
+        if r["event_type"] == "purchase" and r["user_id"] % 2 == 0:
+            h = r["ts"].replace(minute=0, second=0, microsecond=0)
+            hourly[r["user_id"]][h] += math.floor(r["value"] * 100)
+    expected = {}
+    for uid, series in hourly.items():
+        hs = sorted(series)
+        h0, h1 = hs[0], hs[-1]
+        t = h0
+        while t <= h1:
+            if t in series:
+                expected[(uid, t)] = (series[t], False)
+            else:
+                ph = max(h for h in hs if h < t)
+                nh = min(h for h in hs if h > t)
+                num_p = int((nh - t).total_seconds()) // 3600
+                num_n = int((t - ph).total_seconds()) // 3600
+                den = int((nh - ph).total_seconds()) // 3600
+                val = (series[ph] * num_p + series[nh] * num_n) // den
+                expected[(uid, t)] = (val, True)
+            t = t + __import__("datetime").timedelta(hours=1)
+    got = {
+        (r["user_id"], r["hour"]): (r["cents"], r["interpolated"])
+        for r in QUERIES["q_timeseries_interpolate"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_quality_audit_matches_python_model(spark, sf_dir):
+    """Every check's violation count recomputed from collected tables."""
+    orders = load_table(spark, sf_dir, "orders").collect()
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").collect()
+    events = load_table(spark, sf_dir, "events").select("value").collect()
+    ok_counts = Counter(r["o_orderkey"] for r in orders)
+    ok_set = set(ok_counts)
+    expected = {
+        "orders_pk_unique": sum(n - 1 for n in ok_counts.values() if n > 1),
+        "orders_custkey_complete": sum(1 for r in orders if r["o_custkey"] is None),
+        "lineitem_fk_orders": sum(1 for r in lineitem if r["l_orderkey"] not in ok_set),
+        "orders_status_domain": sum(
+            1 for r in orders if r["o_orderstatus"] not in ("O", "F", "P")
+        ),
+        "lineitem_qty_range": sum(
+            1 for r in lineitem if not (1 <= r["l_quantity"] <= 50)
+        ),
+        "events_value_nonnegative": sum(1 for r in events if r["value"] < 0),
+    }
+    got = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in QUERIES["q_data_quality_audit"](spark, sf_dir).collect()
+    }
+    assert got == {k: (v, v == 0) for k, v in expected.items()}
