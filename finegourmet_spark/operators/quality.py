@@ -2,9 +2,11 @@
 (Great-Expectations / Deequ family) every production 100 TB pipeline runs
 before publishing a table.
 
-One registered query evaluates a fixed check catalog over the TPC-H-ish
-tables and returns one row per check: (check_name, n_violations, passed).
-The catalog exercises the four constraint families that matter at scale:
+`q_data_quality_audit` evaluates a fixed check catalog over the TPC-H-ish
+tables and returns one row per check: (check_name, n_violations, passed);
+`q_outlier_zscore` is the statistical sibling — distributional anomaly
+flagging. The catalog exercises the four constraint families that matter
+at scale:
 
   * uniqueness   — primary-key duplicate count (orders.o_orderkey)
   * completeness — NOT NULL violation count (orders.o_custkey)
@@ -130,4 +132,66 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(
         DataFrame.unionByName,
         [pk_dupes, custkey_nulls, fk_orphans, status_domain, qty_range, value_sign],
+    )
+
+
+@query(
+    "q_outlier_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                  AS HUGEINT) AS s2
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents
+    FROM c JOIN s ON c.event_type = s.event_type
+    WHERE (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
+          > 9 * (s.n * s.s2 - s.s1 * s.s1)
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outliers, DIVISION-FREE: flag x where
+    (x − mean)² > 9·variance, algebraically cleared of denominators —
+
+        (n·x − Σx)²  >  9·(n·Σx² − (Σx)²)
+
+    — so the whole predicate is exact integer arithmetic (decimal(38,0)
+    here, HUGEINT in the oracle): no mean/variance division, no sqrt, no
+    IEEE rounding anywhere, hence bit-identical row sets across engines.
+    The usual z-score formulation ((x−μ)/σ > 3) computes two divisions
+    and a square root per group in floating point — boundary rows can
+    flip between engines; this form cannot.
+
+    Scale shape: one map-side-combined stats aggregate per group
+    (metadata-scale output), broadcast back onto the stream (group-count
+    rows — always broadcastable), predicate evaluated scan-side. ONE
+    data-scale shuffle total (the stats partial agg), output only the
+    outlier rows."""
+    c = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    d = F.col("cents").cast("decimal(38,0)")
+    s = c.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d).cast("decimal(38,0)").alias("s1"),
+        F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+    )
+    joined = c.join(
+        F.broadcast(s), c["event_type"] == s["et"]
+    )
+    dev = F.col("n") * F.col("cents").cast("decimal(38,0)") - F.col("s1")
+    spread9 = F.lit(9).cast("decimal(38,0)") * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return joined.filter(dev * dev > spread9).select(
+        "event_id", "event_type", "cents"
     )

