@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import __spark_entry__  # noqa: F401 — populates the full query registry
 from finegourmet_spark.functions.ids import dense_ids, running_total
 from finegourmet_spark.operators.registry import QUERIES
 from tests.oracle_harness import canonical_rows
@@ -53,3 +54,14 @@ def test_dense_ids_stable_across_partition_widths(spark, sf_dir):
         for n in (1, 2, 5, 8, 32)
     }
     assert len(results) == 1
+
+
+def test_iterative_graph_ops_repetition_stable(spark, sf_dir):
+    """q_graph_pagerank re-checkpoints its edge list per call (fresh
+    localCheckpoint, fresh repartition) — 5 independent evaluations must be
+    bit-identical, as must the (checkpoint-free) funnel and triangle
+    census. Guards the class of bug the r2 pack_sequences scare was about:
+    results that depend on which materialization a job happened to see."""
+    for name in ("q_graph_pagerank", "q_funnel", "q_graph_triangles"):
+        results = {_canon(QUERIES[name](spark, sf_dir)) for _ in range(5)}
+        assert len(results) == 1, name
