@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to the default parallelism IF the plan
     currently has fewer partitions (else unchanged). Call immediately before
-    a high-fan-out projection (explode of shingles/n-grams/frames)."""
+    a high-fan-out projection (explode of shingles/n-grams/frames).
+
+    The ``df.rdd.getNumPartitions()`` probe costs one extra driver-side
+    physical-planning pass (no job runs). It is the only public way to see
+    the split count: a file scan's ``outputPartitioning`` is
+    ``UnknownPartitioning`` unless bucketed, so plan inspection can't
+    answer "how many splits". Acceptable because spread() is only ever
+    called on the SMALL pre-explode frame right after a scan — the plan
+    being re-planned is a leaf or near-leaf, not a deep tree."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

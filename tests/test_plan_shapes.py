@@ -332,3 +332,50 @@ def test_pagerank_no_cartesian_one_metadata_single_partition(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
+    """Spark's InjectRuntimeFilter: a selective filter on the build side of
+    a shuffle join materializes a bloom filter that is pushed into the
+    probe side's SCAN — rows that cannot join are dropped before the
+    probe-side aggregate's shuffle. At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the matching
+    slice. Default thresholds (10 GB application-side scan) are tuned for
+    real scale; the test lowers them to fire on toy data."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "qty", "o_totalprice"
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # and the bloom probe must sit in the lineitem-side Filter,
+        # upstream of that side's aggregate
+        filter_lines = [
+            l for l in plan.splitlines()
+            if "might_contain" in l and "l_orderkey" in l
+        ]
+        assert filter_lines, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old,
+        )
