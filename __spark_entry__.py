@@ -81,7 +81,7 @@ _PRIORITY = [
     # otherwise stay self-certified)
     "q_retention_cohorts", "q_attribution", "q_graph_degree_dist",
     "q_graph_triangles", "q_timeseries_interpolate", "q_data_quality_audit",
-    "q_outlier_zscore",
+    "q_outlier_zscore", "q_rolling_active_users",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

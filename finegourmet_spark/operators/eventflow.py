@@ -276,3 +276,62 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+ROLLING_DAYS = 7  # trailing window width for rolling active users
+
+
+@query(
+    "q_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    ), contrib AS (
+      SELECT DISTINCT u.user_id, u.d + CAST(x.i AS INTEGER) AS rd
+      FROM ud u CROSS JOIN
+           (SELECT unnest(generate_series(0, {ROLLING_DAYS - 1})) AS i) x
+    )
+    SELECT c.rd AS report_day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+    FROM contrib c JOIN days dy ON c.rd = dy.d
+    GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLING_DAYS}-day active users per observed day (the WAU
+    curve): each report day counts distinct users with any activity in its
+    trailing {ROLLING_DAYS}-day window.
+
+    Sliding distinct-count windows have no mergeable exact form, so the
+    scalable exact pattern is CONTRIBUTION EXPLODE: collapse to distinct
+    (user, day) FIRST (bounded by users x days, map-side combined), fan
+    each row out to the ≤{ROLLING_DAYS} report days it can influence
+    (bounded explode — never a range join, which would BNLJ), keep only
+    observed report days via a broadcast of the calendar-scale day list,
+    then one exact count-distinct per report day. Shuffle volume is
+    {ROLLING_DAYS} x the user-day frame — independent of raw event count.
+    (The approximate twin at larger windows is q_hll_rollup's mergeable
+    sketches; this is the exact-answer path.)"""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", ROLLING_DAYS - 1))).alias(
+            "rd"
+        ),
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib["rd"] == days["d"])
+        .groupBy(F.col("rd").alias("report_day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )

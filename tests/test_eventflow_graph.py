@@ -265,3 +265,31 @@ def test_outlier_zscore_matches_python_model(spark, sf_dir):
     }
     assert got == expected
     assert expected, "fixture should contain at least one 3-sigma outlier"
+
+
+def test_rolling_active_users_matches_python_model(spark, sf_dir):
+    """Exact trailing-7-day distinct-user counts per observed day."""
+    from datetime import timedelta
+
+    user_days = defaultdict(set)
+    for r in _events(spark, sf_dir):
+        user_days[r["user_id"]].add(r["ts"].date())
+    observed = sorted({d for days in user_days.values() for d in days})
+    expected = {}
+    for rd in observed:
+        lo = rd - timedelta(days=6)
+        expected[rd] = sum(
+            1 for days in user_days.values() if any(lo <= d <= rd for d in days)
+        )
+    got = {
+        r["report_day"]: r["active_users_7d"]
+        for r in QUERIES["q_rolling_active_users"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # sanity: WAU >= DAU on every day
+    dau = Counter()
+    for days in user_days.values():
+        for d in days:
+            dau[d] += 1
+    for rd in observed:
+        assert got[rd] >= dau[rd]
