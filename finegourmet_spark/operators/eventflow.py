@@ -335,3 +335,101 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rd").alias("report_day"))
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST((1000000 * n_transitions)
+                // SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_ppm
+    FROM c
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    counts and floor-ppm probabilities for every (from_type → to_type) pair.
+
+    The per-user successor comes from ONE hash(user_id) exchange (lead over
+    the total order (ts, event_id) — the same sort the funnel reuses); the
+    pair count is a map-side-combined hash agg, and the probability
+    normalization window runs over the |types|² ≈ 25-row result —
+    metadata-scale. Probabilities are integer floor-ppm ((1e6·n) div total),
+    never a FP division, so the result is bit-identical across engines and
+    partitionings."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+    )
+    c = (
+        s.filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return c.withColumn(
+        "p_ppm",
+        F.expr("(1000000 * n_transitions) div sum(n_transitions) over "
+               "(partition by from_type)").cast("bigint"),
+    ).select("from_type", "to_type", "n_transitions", "p_ppm")
+
+
+@query(
+    "q_user_streaks",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), r AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM ud
+    ), islands AS (
+      SELECT user_id, d - CAST(rn AS INTEGER) AS anchor,
+             count(*) AS streak_len
+      FROM r GROUP BY 1, 2
+    ), best AS (
+      SELECT user_id, max(streak_len) AS best_streak FROM islands GROUP BY 1
+    )
+    SELECT CAST(best_streak AS BIGINT) AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1
+    """,
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands),
+    reported as a streak-length histogram (streak_days → n_users).
+
+    Day-grain collapse FIRST (the retention trick — the window never sees
+    event-scale rows), then the classic island key d − row_number(): days of
+    one unbroken run share an anchor date. Everything after the distinct is
+    one hash(user_id) exchange (window + both user-keyed aggs co-partition);
+    the histogram is metadata-scale. All arithmetic is date/int exact."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    islands = (
+        ud.withColumn("anchor", F.date_sub(F.col("d"), rn))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    best = islands.groupBy("user_id").agg(F.max("streak_len").alias("best_streak"))
+    return best.groupBy(F.col("best_streak").alias("streak_days")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -195,3 +195,69 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(dev * dev > spread9).select(
         "event_id", "event_type", "cents"
     )
+
+
+MAD_K = 3  # flag rows with |x - median| > MAD_K * MAD
+
+
+@query(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ), dev AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS dev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, quantile_disc(dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           CAST(min(d.med) AS DOUBLE) AS median_price,
+           CAST(min(m.mad) AS DOUBLE) AS mad_price,
+           CAST(count(*) FILTER (WHERE d.dev > {MAD_K} * m.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier audit per group — the heavy-tail-safe
+    sibling of q_outlier_zscore: flag rows whose absolute deviation from the
+    group median exceeds {MAD_K}× the median absolute deviation.
+
+    percentile_disc picks an ACTUAL data value (same lower-median convention
+    in Spark and DuckDB — the q_agg_percentile_exact anchor), so med/mad and
+    every |x−med| comparison are reproductions of identical IEEE doubles,
+    never interpolated arithmetic. Plan: two grouped exact percentiles with
+    the group stats broadcast back (3-row frames), one data-scale shuffle on
+    l_returnflag. Exact percentiles sort per group — the exactness anchor;
+    the 100 TB fast path swaps in approx_percentile sketches
+    (q_agg_approx)."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "dev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("med").cast("double").alias("median_price"),
+            F.min("mad").cast("double").alias("mad_price"),
+            F.count(F.when(F.col("dev") > MAD_K * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1512,3 +1512,35 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.array_sort(pairs), lambda s: s["o_orderpriority"]), ","
         ).alias("priorities"),
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
+    per nation) — the ANSI lateral-join surface, via the SQL API.
+
+    Catalyst decorrelates the per-row subquery into a window/rank over ONE
+    customer shuffle (never a per-nation re-scan) — the planner path this
+    exercises is distinct from both q_scalar_subquery (scalar decorrelation)
+    and the DataFrame window formulation of top-k-per-group
+    (q_window_rank). Ties are impossible: c_custkey is in the sort."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation_lat n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )

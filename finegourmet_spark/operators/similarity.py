@@ -554,3 +554,95 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wc).alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+KNN_K = 5
+KNN_N_TEST = 50  # probe set: vec_id < 50; train corpus: the rest
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+      FROM embeddings WHERE vec_id < {KNN_N_TEST}
+    ), scored AS (
+      SELECT q.query_id, q.true_label, e.label AS nlabel,
+             e.vec_id AS neighbor_id,
+             round({_sql_cosine('q.qe', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id >= {KNN_N_TEST}
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ), votes AS (
+      SELECT query_id, true_label, nlabel, count(*) AS n_votes
+      FROM ranked WHERE rk <= {KNN_K} GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nlabel) AS pr
+      FROM votes
+    )
+    SELECT query_id, true_label, nlabel AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           (nlabel = true_label) AS correct
+    FROM pick WHERE pr = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: each held-out probe (vec_id <
+    {KNN_N_TEST}) is labeled by its {KNN_K} nearest train vectors' majority
+    label (ties → smaller label id) — the standard embedding-quality probe a
+    training-data pipeline runs after producing embeddings.
+
+    Same scale shape as q_similarity_topk: the probe set broadcasts, the
+    train corpus streams through once (per-partition partial top-k under the
+    rank window), and the vote/argmax stages run on probes×k rows —
+    metadata-scale. Determinism: cosine rounded to 6dp before ranking,
+    neighbor_id tie-break, then (votes DESC, label) argmax."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_N_TEST).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qnorm"),
+    )
+    corpus = e.filter(F.col("vec_id") >= KNN_N_TEST).select(
+        "vec_id",
+        F.col("label").alias("nlabel"),
+        "embedding",
+        norm(F.col("embedding")).alias("enorm"),
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "nlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("enorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("query_id", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    pr = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel")
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(pr))
+        .filter(F.col("pr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+            "n_votes",
+            (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -359,3 +359,185 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("c").isNull().alias("interpolated"),
     )
+
+
+# Trailing-EWMA window width and the power-of-two weight of the most recent
+# day (w_j = 2^(EWMA_DAYS-1-j) for lag j — halving weights, integer-exact).
+EWMA_DAYS = 7
+
+
+@query(
+    "q_concurrency_peak",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(date_trunc('day', o.o_orderdate) AS DATE) AS open_d,
+             CAST(date_trunc('day', s.ship_max) AS DATE) + 1 AS close_d
+      FROM orders o
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS ship_max
+            FROM lineitem GROUP BY 1) s
+        ON s.l_orderkey = o.o_orderkey
+    ), deltas AS (
+      SELECT pri, open_d AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT pri, close_d, -1 FROM iv
+    ), g AS (
+      SELECT pri, d, SUM(delta) AS delta FROM deltas GROUP BY 1, 2
+    ), r AS (
+      SELECT pri, d,
+             SUM(delta) OVER (PARTITION BY pri ORDER BY d) AS inflight
+      FROM g
+    ), ranked AS (
+      SELECT pri, d, inflight,
+             row_number() OVER (PARTITION BY pri
+                                ORDER BY inflight DESC, d) AS rk
+      FROM r
+    )
+    SELECT pri AS o_orderpriority, CAST(inflight AS BIGINT) AS peak_inflight,
+           d AS peak_day
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders per priority class — the interval-overlap
+    maximum (orders count as open from order day through their last lineitem
+    ship day, inclusive).
+
+    The sweep-line formulation that scales: intervals become ±1 boundary
+    deltas, collapsed per (priority, day) BEFORE the running sum, so the
+    prefix-sum window runs over ≤ priorities × days rows — bounded by the
+    calendar, not the order count. Data-scale work is the per-order
+    max-shipdate agg and its orderkey-co-keyed join with orders; the
+    (inflight DESC, day) rank picks the earliest peak day deterministically.
+    Never materializes the O(N²) overlap pairs a naive theta join would."""
+    ship = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_max"))
+    )
+    iv = (
+        t(spark, sf_dir, "orders")
+        .join(ship, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("open_d"),
+            F.date_add(
+                F.to_date(F.date_trunc("day", F.col("ship_max"))), 1
+            ).alias("close_d"),
+        )
+    )
+    deltas = iv.select(
+        "pri", F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("pri", F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    g = deltas.groupBy("pri", "d").agg(F.sum("delta").alias("delta"))
+    run = Window.partitionBy("pri").orderBy("d")
+    r = g.withColumn("inflight", F.sum("delta").over(run))
+    rk = Window.partitionBy("pri").orderBy(F.col("inflight").desc(), F.col("d"))
+    return (
+        r.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("inflight").cast("bigint").alias("peak_inflight"),
+            F.col("d").alias("peak_day"),
+        )
+    )
+
+
+def _sql_ewma_terms() -> tuple[str, str]:
+    """DuckDB numerator/denominator: Σ 2^(W-1-j)·lag_j over present lags."""
+    num = " + ".join(
+        f"COALESCE({1 << (EWMA_DAYS - 1 - j)} * lag(rev_cents, {j}) OVER w, 0)"
+        for j in range(EWMA_DAYS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(rev_cents, {j}) OVER w IS NOT NULL "
+        f"THEN {1 << (EWMA_DAYS - 1 - j)} ELSE 0 END)"
+        for j in range(EWMA_DAYS)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _sql_ewma_terms()
+
+
+@query(
+    "q_ewma_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ), sm AS (
+      SELECT pri, d, rev_cents,
+             ({_EWMA_NUM}) AS num, ({_EWMA_DEN}) AS den
+      FROM daily
+      WINDOW w AS (PARTITION BY pri ORDER BY d)
+    )
+    SELECT pri AS o_orderpriority, d,
+           CAST(rev_cents AS BIGINT) AS rev_e4,
+           CAST(num // den AS BIGINT) AS ewma_e4
+    FROM sm
+    """,
+)
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing average of daily revenue per order
+    priority: weights halve per day back ({EWMA_DAYS}-row frame, most recent
+    day weighted 2^{EWMA_DAYS - 1}), missing lags drop out of both numerator
+    and denominator.
+
+    Integer-exact end to end: daily revenue is an exact decimal sum scaled
+    to 1e-4 units (BIGINT), the weighted sum is int64 arithmetic over
+    explicit lag terms, and the average is floor division — no FP anywhere,
+    so cross-engine and cross-partitioning hashes match exactly. Scale
+    shape: one map-side-combined (priority, day) agg collapses the data to
+    calendar grain, then the lag window runs over ≤ priorities × days rows."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 10000)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("pri").orderBy("d")
+    num = sum(
+        (
+            F.coalesce(
+                F.lit(1 << (EWMA_DAYS - 1 - j)) * F.lag("rev_cents", j).over(w),
+                F.lit(0),
+            )
+            for j in range(EWMA_DAYS)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("rev_cents", j).over(w).isNotNull(),
+                F.lit(1 << (EWMA_DAYS - 1 - j)),
+            ).otherwise(F.lit(0))
+            for j in range(EWMA_DAYS)
+        ),
+        start=F.lit(0),
+    )
+    return daily.select(
+        F.col("pri").alias("o_orderpriority"),
+        "d",
+        F.col("rev_cents").cast("bigint").alias("rev_e4"),
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        "o_orderpriority",
+        "d",
+        "rev_e4",
+        F.expr("num div den").cast("bigint").alias("ewma_e4"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finegourmet_spark.functions.ids import running_total
 from finegourmet_spark.operators.registry import query
@@ -1226,4 +1227,77 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("lift_ppm"),
+    )
+
+
+VOCAB_BUCKET_DOCS = 100  # docs per growth-curve bucket
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), first_seen AS (
+      SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1
+    ), nv AS (
+      SELECT fd // {VOCAB_BUCKET_DOCS} AS bucket,
+             count(*) AS new_terms
+      FROM first_seen GROUP BY 1
+    ), per_bucket AS (
+      SELECT doc_id // {VOCAB_BUCKET_DOCS} AS bucket,
+             count(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT p.bucket * {VOCAB_BUCKET_DOCS} AS first_doc_id,
+           CAST(SUM(p.n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM per_bucket p LEFT JOIN nv n ON n.bucket = p.bucket
+    WINDOW w AS (ORDER BY p.bucket)
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct terms vs
+    cumulative tokens, in doc_id ingestion order, one point per
+    {VOCAB_BUCKET_DOCS}-doc bucket — the diversity diagnostic a corpus
+    builder reads before fixing a dedup/mixing strategy.
+
+    A running count-distinct has no mergeable form, so the scalable exact
+    trick is FIRST-OCCURRENCE ATTRIBUTION: a term adds 1 to the bucket of
+    its minimum doc_id (one term-keyed map-side-combined agg — the same
+    shuffle wordcount pays), and the cumulative curve is a prefix sum over
+    the bucket spine. The spine is metadata-scale by construction (pick
+    {VOCAB_BUCKET_DOCS} so corpus/width stays bounded — width is the 100 TB
+    knob), so the single-partition cumulative window is calendar-like, never
+    data-scale."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    nv = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.expr(f"fd div {VOCAB_BUCKET_DOCS}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    per_bucket = docs.groupBy(
+        F.expr(f"doc_id div {VOCAB_BUCKET_DOCS}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(nv, "bucket", "left")
+        .select(
+            (F.col("bucket") * VOCAB_BUCKET_DOCS).alias("first_doc_id"),
+            F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
     )
