@@ -623,3 +623,127 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+SETSIM_THETA_NUM, SETSIM_THETA_DEN = 1, 2  # Jaccard threshold θ = 1/2
+
+
+@query(
+    "q_setsim_join_prefix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(sa.n_shingles + sb.n_shingles - p.n_common AS BIGINT)
+             AS n_union,
+           CAST((1000000 * p.n_common)
+                // (sa.n_shingles + sb.n_shingles - p.n_common)
+                AS BIGINT) AS jac_ppm
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE {SETSIM_THETA_DEN} * p.n_common
+          >= {SETSIM_THETA_NUM} * (sa.n_shingles + sb.n_shingles - p.n_common)
+    """,
+)
+def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ θ=1/2 self-join via PREFIX FILTERING
+    (PPJoin family) — the guaranteed-complete counterpart of the LSH-gated
+    q_dedup_ngram_jaccard: same near-dup decision, but no pair above θ can
+    be missed by construction (vs the gate's 1e-8 miss probability), so the
+    corpus-wide exact oracle is safe to register.
+
+    Candidate generation: order every doc's shingles rarest-first (global
+    document frequency, shingle tie-break — ONE canonical order shared by
+    all docs), keep only the first |x| − ⌈θ|x|⌉ + 1, and equi-join docs
+    sharing a prefix shingle (plus the θ size filter). Completeness:
+    J(x,y) ≥ θ needs overlap ≥ ⌈θ·max(|x|,|y|)⌉ ≥ ⌈θ|x|⌉; if the pair
+    shares nothing in x's prefix the overlap is capped by the suffix,
+    ⌈θ|x|⌉ − 1 — contradiction. Scale shape: the candidate join keys on
+    each doc's RAREST shingles, so bucket sizes stay bounded exactly where
+    a naive shingle self-join develops quadratic hot-shingle buckets
+    (VERDICT r1 scale-killer #3) — prefix filtering is the deterministic
+    answer to the skew the LSH gate dodges probabilistically. Exact verify
+    touches candidates only (arrays co-shipped by doc-keyed joins); Jaccard
+    is reported as floor-ppm, integer-exact end to end."""
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        spread(docs)
+        .select("doc_id", shingles(normalized_text()).alias("tk"))
+        .filter(F.size("tk") > 0)
+    )
+    terms = tok.select("doc_id", F.explode("tk").alias("term"))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rarest-first per-doc order; prefix keeps |x|-⌈θ|x|⌉+1 tokens
+    ordered = (
+        terms.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("term")))
+            ).alias("stk")
+        )
+        .select(
+            "doc_id",
+            F.size("stk").alias("sz"),
+            F.expr(
+                "transform(slice(stk, 1, size(stk) - "
+                f"ceil({SETSIM_THETA_NUM} * size(stk) / {SETSIM_THETA_DEN}) + 1"
+                "), x -> x.term)"
+            ).alias("prefix"),
+        )
+    )
+    pre = ordered.select("doc_id", "sz", F.explode("prefix").alias("term"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                SETSIM_THETA_DEN * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= SETSIM_THETA_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            tok.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka")),
+            "doc_a",
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("tka", "tkb")).alias("inter"),
+            (F.size("tka") + F.size("tkb")).alias("sum_sz"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("n_common"),
+            (F.col("sum_sz") - F.col("inter")).cast("bigint").alias("n_union"),
+        )
+        .filter(
+            SETSIM_THETA_DEN * F.col("n_common")
+            >= SETSIM_THETA_NUM * F.col("n_union")
+        )
+    )
+    return verified.withColumn(
+        "jac_ppm", F.expr("(1000000 * n_common) div n_union").cast("bigint")
+    )

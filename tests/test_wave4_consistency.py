@@ -294,3 +294,49 @@ def test_knn_corpus_not_shuffled(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_knn_classify"](spark, sf_dir))
     assert "BroadcastExchange" in tree, tree
     assert "Exchange hashpartitioning(vec_id" not in tree, tree
+
+
+def test_setsim_prefix_is_superset_of_lsh_gated(spark, sf_dir):
+    """The prefix-filtered exact join must find every pair the LSH-gated
+    variant finds (the gate can only lose pairs), and each shared pair must
+    agree on the similarity value (ppm floor of the gated double)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jac_ppm"]
+        for r in QUERIES["q_setsim_join_prefix"](spark, sf_dir).collect()
+    }
+    gated = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert set(gated) <= set(exact)
+    for pair, jac in gated.items():
+        assert abs(exact[pair] / 1_000_000 - jac) < 1e-4
+
+
+def test_setsim_prefix_matches_python_model(spark, sf_dir):
+    """Brute-force all-pairs recompute of shingle-set Jaccard ≥ 1/2 — proves
+    prefix filtering dropped nothing, independent of both engines."""
+    from finegourmet_spark.operators.dedup import (
+        SETSIM_THETA_DEN,
+        SETSIM_THETA_NUM,
+        normalized_text,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(normalized_text()).alias("sh")
+    )
+    sets = {r["doc_id"]: set(r["sh"]) for r in docs.collect() if r["sh"]}
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and SETSIM_THETA_DEN * inter >= SETSIM_THETA_NUM * uni:
+                expected[(a, b)] = (inter, uni, (1_000_000 * inter) // uni)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_union"], r["jac_ppm"])
+        for r in QUERIES["q_setsim_join_prefix"](spark, sf_dir).collect()
+    }
+    assert got == expected
