@@ -87,7 +87,8 @@ _PRIORITY = [
     # EWMA, MAD outliers, kNN classify, Heaps-law vocab growth, LATERAL topk
     "q_markov_transitions", "q_user_streaks", "q_concurrency_peak",
     "q_ewma_revenue", "q_outlier_mad", "q_knn_classify", "q_vocab_growth",
-    "q_lateral_topk", "q_setsim_join_prefix",
+    "q_lateral_topk", "q_setsim_join_prefix", "q_ohlc_bars",
+    "q_time_weighted_avg",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -541,3 +541,141 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_e4",
         F.expr("num div den").cast("bigint").alias("ewma_e4"),
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, ts, event_id,
+             value
+      FROM events
+    ), f AS (
+      SELECT event_type, bar_hour, value,
+             first_value(value) OVER w AS open,
+             last_value(value) OVER w AS close
+      FROM e
+      WINDOW w AS (PARTITION BY event_type, bar_hour ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bar_hour,
+           min(open) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(close) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open-high-low-close) bars per event type — the
+    time-series downsampling verb every metrics/finance engine exposes as a
+    native rollup.
+
+    Open/close are the values at the total-order (ts, event_id) endpoints
+    of each bar, carried by first_value/last_value over ONE full-frame
+    window (one sort per (type, hour) partition); high/low/volume/count
+    come from the hash agg that co-partitions with it. Volume goes through
+    the decimal-cast sum (money.py rule 1) so the double total is
+    order-independent. The min(open)/min(close) in the final agg collapse a
+    per-partition constant — no second sort."""
+    w = (
+        Window.partitionBy("event_type", "bar_hour")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    f = e.select(
+        "event_type",
+        "bar_hour",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return f.groupBy("event_type", "bar_hour").agg(
+        F.min("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close").alias("close"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_e2
+      FROM events
+    ), iv AS (
+      SELECT user_id, v_e2,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           CAST(CAST(SUM(v_e2 * dt_us) AS BIGINT) // CAST(SUM(dt_us) AS BIGINT)
+                AS BIGINT) AS twa_e2
+    FROM iv WHERE dt_us IS NOT NULL GROUP BY 1
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user under last-observation-
+    carried-forward (the hypertable `time_weight(\'LOCF\')` verb): each
+    observation counts for the microseconds until the user\'s next event,
+    and the average is the LOCF step-function integral over the user\'s
+    span.
+
+    Pure int64 end to end — value in 1e-2 units (exact decimal(18,2) cast,
+    the shared HALF_UP semantics), durations in epoch microseconds, floor
+    division at the end (nonnegative operands ⇒ Spark `div` == DuckDB
+    `//`). Wide-decimal arithmetic is deliberately avoided: DuckDB silently
+    degrades >38-digit decimal products to DOUBLE, which cost an off-by-one
+    here in development. Overflow bound: Σ v·dt ≤ max(v_e2)·span_us —
+    ~1.5e17 for this data, int64-safe independent of event COUNT (the sum
+    telescopes over the span); re-scale durations to ms if a deployment\'s
+    value·span exceeds ~9e18. One user-keyed exchange serves the lead
+    window and the per-user agg; single-event users have no interval and
+    are excluded by definition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_e2"),
+    )
+    iv = e.select(
+        "user_id",
+        "v_e2",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("v_e2") * F.col("dt_us")).cast("bigint").alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            F.expr("wsum div span_us").cast("bigint").alias("twa_e2"),
+        )
+    )

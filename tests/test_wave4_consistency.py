@@ -340,3 +340,67 @@ def test_setsim_prefix_matches_python_model(spark, sf_dir):
         for r in QUERIES["q_setsim_join_prefix"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_ohlc_bars_match_python_model(spark, sf_dir):
+    """OHLC endpoints/extremes recomputed per (event_type, hour); volume via
+    the same exact decimal(18,4) cast-sum."""
+    bars = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        bars[(r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))].append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    expected = {}
+    for key, evs in bars.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        vol = float(
+            sum(Decimal(v).quantize(Decimal("0.0001"), ROUND_HALF_UP) for v in vals)
+        )
+        expected[key] = (vals[0], max(vals), min(vals), vals[-1], vol, len(vals))
+    rows = QUERIES["q_ohlc_bars"](spark, sf_dir).collect()
+    got = {
+        (r["event_type"], r["bar_hour"]): (
+            r["open"],
+            r["high"],
+            r["low"],
+            r["close"],
+            r["volume"],
+            r["n_events"],
+        )
+        for r in rows
+    }
+    assert got == expected
+    for _, (o, h, l, c, _, _) in got.items():
+        assert l <= min(o, c) and h >= max(o, c)
+
+
+def test_time_weighted_avg_matches_python_model(spark, sf_dir):
+    """LOCF integral recomputed per user in exact integer arithmetic; the
+    TWA must sit inside the user's [min, max] value range."""
+    seqs = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        v_e2 = int(
+            (Decimal(r["value"]).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+            .to_integral_exact()
+        )
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], v_e2))
+    expected = {}
+    for uid, evs in seqs.items():
+        evs.sort()
+        if len(evs) < 2:
+            continue
+        wsum = span = 0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            dt_us = int((t1 - t0).total_seconds() * 1_000_000 + 0.5)
+            wsum += v * dt_us
+            span += dt_us
+        expected[uid] = (len(evs) - 1, span, wsum // span)
+    rows = QUERIES["q_time_weighted_avg"](spark, sf_dir).collect()
+    got = {
+        r["user_id"]: (r["n_intervals"], r["span_us"], r["twa_e2"]) for r in rows
+    }
+    assert got == expected
+    for uid, (_, _, twa) in got.items():
+        vs = [v for _, _, v in seqs[uid]]
+        assert min(vs) <= twa <= max(vs)
