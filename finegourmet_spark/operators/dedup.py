@@ -106,12 +106,10 @@ list_distinct(
 """
 
 
-NEAR_DUP_THETA = 0.5  # standard near-dup decision threshold
 
-
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
+# shared oracle fragment: corpus-wide shingle-set pair statistics (used by
+# both near-dup joins, so the "same near-dup decision" claim cannot drift)
+_SQL_PAIR_CTES = f"""
     WITH sh AS (
       SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
     ), sizes AS (
@@ -121,6 +119,15 @@ NEAR_DUP_THETA = 0.5  # standard near-dup decision threshold
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
+"""
+
+NEAR_DUP_THETA = 0.5  # standard near-dup decision threshold
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    {_SQL_PAIR_CTES}
     SELECT p.doc_a, p.doc_b,
            CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
     FROM pair_inter p
@@ -631,15 +638,7 @@ SETSIM_THETA_NUM, SETSIM_THETA_DEN = 1, 2  # Jaccard threshold θ = 1/2
 @query(
     "q_setsim_join_prefix",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
-    ), pair_inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    {_SQL_PAIR_CTES}
     SELECT p.doc_a, p.doc_b,
            CAST(p.n_common AS BIGINT) AS n_common,
            CAST(sa.n_shingles + sb.n_shingles - p.n_common AS BIGINT)

@@ -232,11 +232,13 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_disc picks an ACTUAL data value (same lower-median convention
     in Spark and DuckDB — the q_agg_percentile_exact anchor), so med/mad and
     every |x−med| comparison are reproductions of identical IEEE doubles,
-    never interpolated arithmetic. Plan: two grouped exact percentiles with
-    the group stats broadcast back (3-row frames), one data-scale shuffle on
-    l_returnflag. Exact percentiles sort per group — the exactness anchor;
-    the 100 TB fast path swaps in approx_percentile sketches
-    (q_agg_approx)."""
+    never interpolated arithmetic. Cost honesty: exact percentiles are NOT
+    partially aggregatable, so this plan pays THREE data-scale passes over
+    lineitem (med agg, mad agg over the re-derived dev lineage, final
+    conditional count) — two to three l_returnflag shuffles of full rows,
+    not one. That is the price of the exactness anchor; the 100 TB fast
+    path swaps in approx_percentile sketches (q_agg_approx), which combine
+    map-side and collapse this to one pass."""
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     med = li.groupBy("l_returnflag").agg(
         F.expr(

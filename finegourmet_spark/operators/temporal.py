@@ -446,23 +446,6 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ewma_terms() -> tuple[str, str]:
-    """DuckDB numerator/denominator: Σ 2^(W-1-j)·lag_j over present lags."""
-    num = " + ".join(
-        f"COALESCE({1 << (EWMA_DAYS - 1 - j)} * lag(rev_cents, {j}) OVER w, 0)"
-        for j in range(EWMA_DAYS)
-    )
-    den = " + ".join(
-        f"(CASE WHEN lag(rev_cents, {j}) OVER w IS NOT NULL "
-        f"THEN {1 << (EWMA_DAYS - 1 - j)} ELSE 0 END)"
-        for j in range(EWMA_DAYS)
-    )
-    return num, den
-
-
-_EWMA_NUM, _EWMA_DEN = _sql_ewma_terms()
-
-
 @query(
     "q_ewma_revenue",
     oracle=f"""
@@ -472,30 +455,38 @@ _EWMA_NUM, _EWMA_DEN = _sql_ewma_terms()
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
                AS rev_cents
       FROM orders GROUP BY 1, 2
-    ), sm AS (
-      SELECT pri, d, rev_cents,
-             ({_EWMA_NUM}) AS num, ({_EWMA_DEN}) AS den
-      FROM daily
-      WINDOW w AS (PARTITION BY pri ORDER BY d)
+    ), contrib AS (
+      SELECT pri, d + CAST(x.j AS INTEGER) AS rd,
+             (1 << ({EWMA_DAYS - 1} - x.j)) * rev_cents AS wrev,
+             (1 << ({EWMA_DAYS - 1} - x.j)) AS w
+      FROM daily,
+           (SELECT unnest(generate_series(0, {EWMA_DAYS - 1})) AS j) x
+    ), agg AS (
+      SELECT pri, rd, SUM(wrev) AS num, SUM(w) AS den
+      FROM contrib GROUP BY 1, 2
     )
-    SELECT pri AS o_orderpriority, d,
-           CAST(rev_cents AS BIGINT) AS rev_e4,
-           CAST(num // den AS BIGINT) AS ewma_e4
-    FROM sm
+    SELECT d.pri AS o_orderpriority, d.d,
+           CAST(d.rev_cents AS BIGINT) AS rev_e4,
+           CAST(a.num // a.den AS BIGINT) AS ewma_e4
+    FROM daily d JOIN agg a ON a.pri = d.pri AND a.rd = d.d
     """,
 )
 def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted trailing average of daily revenue per order
-    priority: weights halve per day back ({EWMA_DAYS}-row frame, most recent
-    day weighted 2^{EWMA_DAYS - 1}), missing lags drop out of both numerator
-    and denominator.
+    """Calendar-true trailing EWMA of daily revenue per order priority:
+    report day t averages the revenues of days t−j (j < {EWMA_DAYS}) with
+    weight 2^({EWMA_DAYS}−1−j) — a CALENDAR day with no orders contributes
+    nothing to numerator or denominator (a row-based lag formulation would
+    silently compress gaps and weight a weeks-old observation as
+    yesterday's; caught in self-review).
 
-    Integer-exact end to end: daily revenue is an exact decimal sum scaled
-    to 1e-4 units (BIGINT), the weighted sum is int64 arithmetic over
-    explicit lag terms, and the average is floor division — no FP anywhere,
-    so cross-engine and cross-partitioning hashes match exactly. Scale
-    shape: one map-side-combined (priority, day) agg collapses the data to
-    calendar grain, then the lag window runs over ≤ priorities × days rows."""
+    Same contribution-explode pattern as q_rolling_active_users: each
+    (priority, day) revenue fans out to the ≤{EWMA_DAYS} report days it can
+    influence (bounded explode — never a range join), the per-report-day
+    weighted sums are one co-keyed agg, and observed report days are kept
+    by the equi-join back to the daily spine. Integer-exact end to end:
+    exact decimal daily sums in 1e-4 units, power-of-two int64 weights,
+    floor division. Scale: everything after the first map-side-combined
+    (priority, day) collapse is calendar-bounded."""
     daily = (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -508,37 +499,31 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    w = Window.partitionBy("pri").orderBy("d")
-    num = sum(
-        (
-            F.coalesce(
-                F.lit(1 << (EWMA_DAYS - 1 - j)) * F.lag("rev_cents", j).over(w),
-                F.lit(0),
-            )
-            for j in range(EWMA_DAYS)
-        ),
-        start=F.lit(0),
+    contrib = (
+        daily.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(EWMA_DAYS - 1)))
+        )
+        .select(
+            "pri",
+            F.date_add(F.col("d"), F.col("j")).alias("rd"),
+            F.expr(f"shiftleft(1, {EWMA_DAYS - 1} - j)")
+            .cast("bigint")
+            .alias("w"),
+            "rev_cents",
+        )
     )
-    den = sum(
-        (
-            F.when(
-                F.lag("rev_cents", j).over(w).isNotNull(),
-                F.lit(1 << (EWMA_DAYS - 1 - j)),
-            ).otherwise(F.lit(0))
-            for j in range(EWMA_DAYS)
-        ),
-        start=F.lit(0),
+    agg = contrib.groupBy(
+        F.col("pri").alias("apri"), F.col("rd")
+    ).agg(
+        F.sum(F.col("w") * F.col("rev_cents")).alias("num"),
+        F.sum("w").alias("den"),
     )
-    return daily.select(
+    return daily.join(
+        agg, (F.col("pri") == F.col("apri")) & (F.col("rd") == F.col("d"))
+    ).select(
         F.col("pri").alias("o_orderpriority"),
         "d",
         F.col("rev_cents").cast("bigint").alias("rev_e4"),
-        num.alias("num"),
-        den.alias("den"),
-    ).select(
-        "o_orderpriority",
-        "d",
-        "rev_e4",
         F.expr("num div den").cast("bigint").alias("ewma_e4"),
     )
 

@@ -114,21 +114,16 @@ def test_ewma_matches_python_model(spark, sf_dir):
         daily[(r["o_orderpriority"], r["o_orderdate"].date())] += _cents(
             r["o_totalprice"]
         )
-    series = defaultdict(list)
-    for (pri, d), cents in daily.items():
-        series[pri].append((d, cents))
     expected = {}
-    for pri, pts in series.items():
-        pts.sort()
-        for i, (d, cents) in enumerate(pts):
-            num = den = 0
-            for j in range(EWMA_DAYS):
-                if i - j < 0:
-                    break
+    for (pri, d), cents in daily.items():
+        num = den = 0
+        for j in range(EWMA_DAYS):  # calendar distance, not row distance
+            back = d - dt.timedelta(days=j)
+            if (pri, back) in daily:
                 w = 1 << (EWMA_DAYS - 1 - j)
-                num += w * pts[i - j][1]
+                num += w * daily[(pri, back)]
                 den += w
-            expected[(pri, d)] = (cents, num // den)
+        expected[(pri, d)] = (cents, num // den)
     rows = QUERIES["q_ewma_revenue"](spark, sf_dir).collect()
     got = {(r["o_orderpriority"], r["d"]): (r["rev_e4"], r["ewma_e4"]) for r in rows}
     assert got == expected
