@@ -746,3 +746,108 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.withColumn(
         "jac_ppm", F.expr("(1000000 * n_common) div n_union").cast("bigint")
     )
+
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment threshold t = 4/5
+
+
+@query(
+    "q_containment_dedup",
+    oracle=f"""
+    {_SQL_PAIR_CTES}
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(least(sa.n_shingles, sb.n_shingles) AS BIGINT) AS n_smaller,
+           CAST((1000000 * p.n_common)
+                // least(sa.n_shingles, sb.n_shingles) AS BIGINT)
+             AS containment_ppm
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE {CONTAIN_DEN} * p.n_common
+          >= {CONTAIN_NUM} * least(sa.n_shingles, sb.n_shingles)
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup join: pairs where |A∩B| ≥ t·min(|A|,|B|)
+    (t={CONTAIN_NUM}/{CONTAIN_DEN}, 3-gram shingle sets) — the
+    sub-document decision Jaccard misses: a short doc pasted inside a long
+    one has high containment but low Jaccard (the union is dominated by the
+    long doc), so corpus curation runs BOTH this and q_setsim_join_prefix.
+
+    Candidates by the asymmetric prefix scheme: the PREFIX side keeps each
+    doc's |x| − ⌈t|x|⌉ + 1 rarest shingles, the build side explodes ALL
+    shingles, and a pair qualifies when the (potentially) smaller doc's
+    prefix hits the other doc's full set — running both directions covers
+    not knowing which side is smaller. Completeness: containment ≥ t of x
+    needs |x∩y| ≥ ⌈t|x|⌉; missing x's whole prefix caps it at ⌈t|x|⌉ − 1.
+    No size-ratio filter exists for containment (a tiny doc can live inside
+    a huge one) — that asymmetry is the point. Exact verify on candidates
+    only; floor-ppm output, integer-exact."""
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        spread(docs)
+        .select("doc_id", shingles(normalized_text()).alias("tk"))
+        .filter(F.size("tk") > 0)
+    )
+    terms = tok.select("doc_id", F.explode("tk").alias("term"))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        terms.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("term")))
+            ).alias("stk")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(stk, 1, size(stk) - "
+                    f"ceil({CONTAIN_NUM} * size(stk) / {CONTAIN_DEN}) + 1"
+                    "), x -> x.term)"
+                )
+            ).alias("term"),
+        )
+    )
+    a, b = prefix.alias("a"), terms.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            tok.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka")),
+            "doc_a",
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("tka", "tkb"))
+            .cast("bigint")
+            .alias("n_common"),
+            F.least(F.size("tka"), F.size("tkb"))
+            .cast("bigint")
+            .alias("n_smaller"),
+        )
+        .filter(
+            CONTAIN_DEN * F.col("n_common") >= CONTAIN_NUM * F.col("n_smaller")
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(1000000 * n_common) div n_smaller").cast("bigint"),
+        )
+    )

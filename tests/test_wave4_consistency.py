@@ -399,3 +399,42 @@ def test_time_weighted_avg_matches_python_model(spark, sf_dir):
     for uid, (_, _, twa) in got.items():
         vs = [v for _, _, v in seqs[uid]]
         assert min(vs) <= twa <= max(vs)
+
+
+def test_containment_matches_python_model(spark, sf_dir):
+    """Brute-force all-pairs containment recompute — proves the asymmetric
+    prefix scheme dropped nothing; also exhibits the decision's asymmetry
+    vs Jaccard (every Jaccard ≥ θ pair has containment ≥ θ, not vice
+    versa)."""
+    from finegourmet_spark.operators.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        normalized_text,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(normalized_text()).alias("sh")
+    )
+    sets = {r["doc_id"]: set(r["sh"]) for r in docs.collect() if r["sh"]}
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            smaller = min(len(sets[a]), len(sets[b]))
+            if smaller and CONTAIN_DEN * inter >= CONTAIN_NUM * smaller:
+                expected[(a, b)] = (
+                    inter,
+                    smaller,
+                    (1_000_000 * inter) // smaller,
+                )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["n_smaller"],
+            r["containment_ppm"],
+        )
+        for r in QUERIES["q_containment_dedup"](spark, sf_dir).collect()
+    }
+    assert got == expected
