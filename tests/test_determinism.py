@@ -65,3 +65,29 @@ def test_iterative_graph_ops_repetition_stable(spark, sf_dir):
     for name in ("q_graph_pagerank", "q_funnel", "q_graph_triangles"):
         results = {_canon(QUERIES[name](spark, sf_dir)) for _ in range(5)}
         assert len(results) == 1, name
+
+
+WAVE4 = [
+    "q_markov_transitions", "q_user_streaks", "q_concurrency_peak",
+    "q_ewma_revenue", "q_outlier_mad", "q_knn_classify", "q_vocab_growth",
+    "q_lateral_topk", "q_setsim_join_prefix", "q_ohlc_bars",
+    "q_time_weighted_avg", "q_containment_dedup",
+]
+
+
+def test_wave4_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every fourth-wave operator must produce the bit-identical canonical
+    result at shuffle widths 1, 7, and 32 — the partitioning-invariance the
+    registry's determinism rules (decimal/integer arithmetic, total tie
+    orders) are supposed to buy. A flake here is exactly the class that
+    becomes a driver hash-fail at a different parallelism."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE4:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
