@@ -82,15 +82,16 @@ _PRIORITY = [
     "q_retention_cohorts", "q_attribution", "q_graph_degree_dist",
     "q_graph_triangles", "q_timeseries_interpolate", "q_data_quality_audit",
     "q_outlier_zscore", "q_rolling_active_users",
-    # round-3 fourth-wave ops (12, all oracle-backed, also r4-rotation
+    # round-3 fourth-wave ops (13, all oracle-backed, also r4-rotation
     # candidates): Markov transitions, activity streaks, interval
     # concurrency, calendar-true EWMA, MAD outliers, kNN classify,
     # Heaps-law vocab growth, LATERAL topk, prefix-filter set-similarity
-    # join, OHLC bars, LOCF time-weighted average, containment near-dup
+    # join, OHLC bars, LOCF time-weighted average, containment near-dup,
+    # chi-square contingency profile
     "q_markov_transitions", "q_user_streaks", "q_concurrency_peak",
     "q_ewma_revenue", "q_outlier_mad", "q_knn_classify", "q_vocab_growth",
     "q_lateral_topk", "q_setsim_join_prefix", "q_ohlc_bars",
-    "q_time_weighted_avg", "q_containment_dedup",
+    "q_time_weighted_avg", "q_containment_dedup", "q_crosstab_chi2",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

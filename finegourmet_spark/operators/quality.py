@@ -263,3 +263,79 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+CHI2_CHANNELS = 4  # contingency columns: props k mod 4 (the channel buckets)
+
+
+@query(
+    "q_crosstab_chi2",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INT) % {CHI2_CHANNELS}
+               AS channel
+      FROM events
+    ), cells AS (
+      SELECT event_type, channel, CAST(count(*) AS HUGEINT) AS o
+      FROM c GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1
+    ), cols_ AS (
+      SELECT channel, SUM(o) AS cl FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT SUM(o) AS n FROM cells
+    )
+    SELECT ce.event_type, ce.channel, CAST(ce.o AS BIGINT) AS n_obs,
+           CAST((1000000
+                 * (tot.n * ce.o - r.r * cl.cl)
+                 * (tot.n * ce.o - r.r * cl.cl))
+                // (tot.n * r.r * cl.cl) AS BIGINT) AS contrib_ppm
+    FROM cells ce
+    JOIN rows_ r ON r.event_type = ce.event_type
+    JOIN cols_ cl ON cl.channel = ce.channel
+    CROSS JOIN tot
+    """,
+)
+def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency profile of event_type × channel — the
+    statistical-dependence audit of the data-profiling family (is the
+    channel mix independent of the event type?), division-free in spirit of
+    q_outlier_zscore.
+
+    Per-cell χ² contribution (O − E)²/E with E = R·C/N is cleared of inner
+    denominators:  contrib = (N·O − R·C)² / (N·R·C)  — every term an exact
+    integer (decimal(38,0) here, HUGEINT in the oracle; N·O products reach
+    ~1e24 at sf1, far past int64), with ONE floor division per cell at the
+    reported 1e-6 scale. The statistic is defined as the sum of the
+    floored per-cell ppm values — deterministic and engine-identical,
+    whereas floating χ² sums vary in the last ulps. Scale shape: one
+    map-side-combined cell count (|types|×|channels| rows — metadata-scale
+    from there), row/col/total sums and joins all run on the tiny cell
+    frame."""
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("int") % CHI2_CHANNELS).alias(
+            "channel"
+        ),
+    )
+    cells = c.groupBy("event_type", "channel").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("channel").agg(F.sum("o").alias("cl"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    return (
+        cells.join(rows_, "event_type")
+        .join(cols_, "channel")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "channel",
+            F.col("o").cast("bigint").alias("n_obs"),
+            F.expr(
+                "cast((1000000 * (n * o - r * cl) * (n * o - r * cl))"
+                " div (n * r * cl) as bigint)"
+            ).alias("contrib_ppm"),
+        )
+    )

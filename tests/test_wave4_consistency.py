@@ -438,3 +438,37 @@ def test_containment_matches_python_model(spark, sf_dir):
         for r in QUERIES["q_containment_dedup"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_crosstab_chi2_matches_python_model(spark, sf_dir):
+    """Exact-integer recompute of every cell's floored ppm contribution;
+    also sanity-checks marginals: Σ n_obs = N and each row/col total
+    matches the raw counts."""
+    import json
+
+    from finegourmet_spark.operators.quality import CHI2_CHANNELS
+
+    cells = Counter()
+    for r in load_table(spark, sf_dir, "events").collect():
+        ch = json.loads(r["props"])["k"] % CHI2_CHANNELS
+        cells[(r["event_type"], ch)] += 1
+    n = sum(cells.values())
+    row_tot = Counter()
+    col_tot = Counter()
+    for (et, ch), o in cells.items():
+        row_tot[et] += o
+        col_tot[ch] += o
+    expected = {
+        (et, ch): (
+            o,
+            (1_000_000 * (n * o - row_tot[et] * col_tot[ch]) ** 2)
+            // (n * row_tot[et] * col_tot[ch]),
+        )
+        for (et, ch), o in cells.items()
+    }
+    got = {
+        (r["event_type"], r["channel"]): (r["n_obs"], r["contrib_ppm"])
+        for r in QUERIES["q_crosstab_chi2"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(v for v, _ in got.values()) == n
