@@ -92,6 +92,14 @@ _PRIORITY = [
     "q_ewma_revenue", "q_outlier_mad", "q_knn_classify", "q_vocab_growth",
     "q_lateral_topk", "q_setsim_join_prefix", "q_ohlc_bars",
     "q_time_weighted_avg", "q_containment_dedup", "q_crosstab_chi2",
+    # round-3 fifth-wave ops (all oracle-backed, r4-rotation candidates):
+    # skyline, largest-remainder apportionment, Benford audit, column
+    # profiling, equi-depth histogram, CUSUM drift, autocorrelation, RFM
+    # segmentation, inverted index, fuzzy levenshtein join, neighborhood
+    # Jaccard
+    "q_skyline_pareto", "q_allocation_largest_remainder", "q_benford_profile",
+    "q_column_profile", "q_histogram_equidepth", "q_cusum_anomaly",
+    "q_autocorr_lag", "q_rfm_segmentation",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -433,3 +433,126 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(F.col("best_streak").alias("streak_days")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def _rfm_quartile_sql(col: str, tag: str) -> str:
+    return ", ".join(
+        f"quantile_disc({col}, {q}) AS {tag}{i}"
+        for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+    )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             max(CAST(date_trunc('day', o_orderdate) AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS mon_cents
+      FROM orders GROUP BY 1
+    ), anch AS (
+      SELECT max(last_d) AS anchor FROM cust
+    ), r AS (
+      SELECT c.*, CAST(anch.anchor - c.last_d AS BIGINT) AS rec_days
+      FROM cust c CROSS JOIN anch
+    ), b AS (
+      SELECT {_rfm_quartile_sql("rec_days", "r")},
+             {_rfm_quartile_sql("freq", "f")},
+             {_rfm_quartile_sql("mon_cents", "m")}
+      FROM r
+    ), s AS (
+      SELECT r.mon_cents,
+             4 - (CAST(rec_days > r1 AS INT) + CAST(rec_days > r2 AS INT)
+                  + CAST(rec_days > r3 AS INT)) AS r_score,
+             1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+               + CAST(freq > f3 AS INT) AS f_score,
+             1 + CAST(mon_cents > m1 AS INT) + CAST(mon_cents > m2 AS INT)
+               + CAST(mon_cents > m3 AS INT) AS m_score
+      FROM r CROSS JOIN b
+    )
+    SELECT 'R' || CAST(r_score AS VARCHAR) || 'F' || CAST(f_score AS VARCHAR)
+             || 'M' || CAST(m_score AS VARCHAR) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_cents) AS BIGINT) AS monetary_cents
+    FROM s GROUP BY 1
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical CRM behavior model: score
+    every customer 1-4 on Recency (days since last order, 4 = most recent),
+    Frequency (order count) and Monetary (lifetime revenue), then report
+    segment sizes and revenue.
+
+    Scores come from quartile BOUNDARIES (percentile_disc actual data
+    values, the q_outlier_mad convention), broadcast back as a 1-row frame:
+    score = 1 + #boundaries strictly below — a pure projection. A global
+    ntile(4) would be the naive formulation and a SinglePartition sort over
+    every customer; boundary comparison keeps ties deterministic (equal
+    values always land in the same bucket — ntile splits them by position)
+    AND removes the global sort. Data-scale work is ONE customer-grain agg
+    over orders; the quartile agg runs on the customer frame (the exact
+    anchor — approx_percentile is the 100 TB fast path), and the segment
+    rollup is ≤64 rows. Revenue is exact decimal cents throughout."""
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.to_date(F.date_trunc("day", F.col("o_orderdate")))
+            ).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("mon_cents"),
+        )
+    )
+    anch = cust.agg(F.max("last_d").alias("anchor"))
+    r = cust.crossJoin(F.broadcast(anch)).select(
+        "mon_cents",
+        "freq",
+        F.datediff(F.col("anchor"), F.col("last_d")).cast("bigint").alias(
+            "rec_days"
+        ),
+    )
+    b = r.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+            ).alias(f"{tag}{i}")
+            for col, tag in (
+                ("rec_days", "r"),
+                ("freq", "f"),
+                ("mon_cents", "m"),
+            )
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, tag: str):
+        hits = sum(
+            F.when(F.col(col) > F.col(f"{tag}{i}"), 1).otherwise(0)
+            for i in (1, 2, 3)
+        )
+        return (4 - hits) if tag == "r" else (1 + hits)
+
+    s = r.crossJoin(F.broadcast(b)).select(
+        "mon_cents",
+        score("rec_days", "r").alias("r_score"),
+        score("freq", "f").alias("f_score"),
+        score("mon_cents", "m").alias("m_score"),
+    )
+    return s.groupBy(
+        F.concat(
+            F.lit("R"),
+            F.col("r_score").cast("string"),
+            F.lit("F"),
+            F.col("f_score").cast("string"),
+            F.lit("M"),
+            F.col("m_score").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").cast("bigint").alias("monetary_cents"),
+    )

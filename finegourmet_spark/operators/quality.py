@@ -339,3 +339,189 @@ def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contrib_ppm"),
         )
     )
+
+
+# Benford expected first-digit frequencies, floor-ppm: floor(1e6·log10(1+1/d)).
+# Precomputed constants (not runtime floats) so both engines compare against
+# identical integer literals.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+
+
+@query(
+    "q_benford_profile",
+    oracle=f"""
+    WITH fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY 1
+    )
+    SELECT digit, n,
+           CAST((1000000 * n) // SUM(n) OVER () AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+           CAST((1000000 * n) // SUM(n) OVER ()
+                - {_BENFORD_CASE} AS BIGINT) AS delta_ppm
+    FROM c
+    """,
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    fraud/synthetic-data screen in the audit family: compare the observed
+    leading-digit distribution against log10(1+1/d).
+
+    The leading digit comes from floor→bigint→string (explicit floor in
+    BOTH engines — DuckDB CAST(DOUBLE AS BIGINT) rounds half-away while
+    Spark truncates, so the floor is load-bearing). Observed shares are
+    floor-ppm over the 9-row digit frame (metadata-scale window); expected
+    shares are precomputed integer literals, so delta_ppm is pure integer
+    subtraction — engine-identical even though it goes negative (no
+    division touches a negative operand). Scale shape: one
+    map-side-combined digit count; everything after is 9 rows."""
+    fd = t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = fd.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "digit",
+        "n",
+        F.expr("(1000000 * n) div sum(n) over ()").cast("bigint").alias(
+            "observed_ppm"
+        ),
+        F.expr(_BENFORD_CASE).cast("bigint").alias("expected_ppm"),
+        F.expr(f"(1000000 * n) div sum(n) over () - ({_BENFORD_CASE})")
+        .cast("bigint")
+        .alias("delta_ppm"),
+    )
+
+
+# Columns profiled by q_column_profile: integer keys and low-cardinality
+# enums only — min/max stringification of doubles/timestamps is
+# engine-formatting-sensitive, so those stay out of the catalog.
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q_column_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in PROFILE_COLS
+    ),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (the pandas-profiling / Glue-crawler
+    shape): one row per column with row/null/distinct counts and min/max —
+    the first artifact a data catalog computes for every landed table.
+
+    ONE pass over the table computes every column's statistics in a single
+    multi-aggregate (Spark plans the n_distinct set via Expand — partial
+    aggregation still applies per column); the per-column rows come from
+    stack() over the single 1-row result — metadata-scale, unlike the
+    oracle's UNION ALL of four scans, which states the semantics, not the
+    plan. min/max are computed in the column's NATIVE type and cast to
+    string after (string-min of an int column would order '10' < '9')."""
+    o = t(spark, sf_dir, "orders").select(*PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+HIST_BINS = 10  # equi-depth bins for q_histogram_equidepth
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+      SELECT {", ".join(
+        f"quantile_disc(l_extendedprice, {i / HIST_BINS}) AS b{i}"
+        for i in range(1, HIST_BINS)
+      )}
+      FROM lineitem
+    ), binned AS (
+      SELECT {" + ".join(
+        f"CASE WHEN l.l_extendedprice > b.b{i} THEN 1 ELSE 0 END"
+        for i in range(1, HIST_BINS)
+      )} AS bin,
+             l.l_extendedprice AS x
+      FROM lineitem l CROSS JOIN b
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_price, max(x) AS max_price
+    FROM binned GROUP BY 1
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of l_extendedprice ({HIST_BINS} quantile bins)
+    — the optimizer-statistics / data-profiling shape where each bin holds
+    ~equal row counts (equi-width bins hide skew in long-tailed prices).
+
+    A global ntile() would be the naive formulation — and a SinglePartition
+    sort over the whole fact table, the classic scale-killer. Instead the
+    {HIST_BINS - 1} exact decile boundaries come from ONE percentile_disc
+    aggregate (actual data values, same lower convention both engines —
+    the q_outlier_mad anchor), broadcast back as a 1-row frame, and each
+    row's bin is just the count of boundaries strictly below it — a pure
+    projection. Bin counts/extremes are then one map-side-combined agg.
+    min/max are untouched stored doubles — no FP arithmetic anywhere."""
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / HIST_BINS}) WITHIN GROUP "
+                "(ORDER BY l_extendedprice)"
+            ).alias(f"b{i}")
+            for i in range(1, HIST_BINS)
+        ]
+    )
+    bin_expr = reduce(
+        lambda acc, i: acc
+        + F.when(F.col("l_extendedprice") > F.col(f"b{i}"), 1).otherwise(0),
+        range(2, HIST_BINS),
+        F.when(F.col("l_extendedprice") > F.col("b1"), 1).otherwise(0),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(bin_expr.cast("int").alias("bin"), F.col("l_extendedprice"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )

@@ -1544,3 +1544,134 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
         """
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    SELECT a.p_partkey, a.p_size, a.p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_size <= a.p_size AND b.p_retailprice >= a.p_retailprice
+        AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: maximize p_retailprice,
+    minimize p_size. A part survives iff no other part is at least as good
+    on both axes and strictly better on one — the SKYLINE OF verb of
+    preference-query engines; the oracle states raw dominance (NOT EXISTS
+    anti-join), the engine uses the scalable decomposition.
+
+    Scale shape: per-size max-price candidates first (ONE map-side-combined
+    agg — only per-size champions can be on the frontier; any same-size
+    cheaper part is strictly dominated by its champion). The frontier test
+    "best(size) > max best over strictly smaller sizes" then runs as a
+    running-max window over the |distinct sizes| frame — metadata-scale
+    (50 rows here; bounded by the attribute's cardinality, not row count).
+    Survivors broadcast back to pick up ALL parts achieving the champion
+    price (double equality on untouched stored values — no arithmetic, so
+    bit-exact in both engines). Never an all-pairs dominance join."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    cand = p.groupBy("p_size").agg(F.max("p_retailprice").alias("best"))
+    # metadata-scale global window (|distinct p_size| rows, like the
+    # PageRank top-N rank) — NOT a data-scale SinglePartition stage
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    surv = (
+        cand.withColumn("prev_best", F.max("best").over(w))
+        .filter(F.col("prev_best").isNull() | (F.col("best") > F.col("prev_best")))
+        .select(F.col("p_size").alias("s_size"), "best")
+    )
+    return p.join(
+        F.broadcast(surv),
+        (p["p_size"] == surv["s_size"]) & (p["p_retailprice"] == surv["best"]),
+    ).select("p_partkey", "p_size", "p_retailprice")
+
+
+ALLOC_UNITS = 1_000_000  # budget apportioned across nations
+
+
+@query(
+    "q_allocation_largest_remainder",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), sh AS (
+      SELECT n_name, rev_cents,
+             ({ALLOC_UNITS} * rev_cents) // SUM(rev_cents) OVER () AS fl,
+             ({ALLOC_UNITS} * rev_cents) % SUM(rev_cents) OVER () AS rem
+      FROM rev
+    ), rk AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, n_name) AS rnk,
+             {ALLOC_UNITS} - SUM(fl) OVER () AS leftover
+      FROM sh
+    )
+    SELECT n_name, rev_cents,
+           CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_units
+    FROM rk
+    """,
+)
+def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional apportionment: split a fixed budget of {ALLOC_UNITS}
+    units across nations in proportion to revenue, via the
+    LARGEST-REMAINDER (Hamilton) method — floor shares first, then the
+    leftover units go to the largest fractional remainders (ties broken by
+    name). The standard way to turn fractional quotas into integers that
+    sum EXACTLY to the budget — naive per-row rounding drifts.
+
+    All arithmetic is integer (revenue as exact decimal cents; floor
+    share and remainder via div/%, nonneg operands so Spark `div` equals
+    DuckDB `//`). Scale shape: one fact-side agg keyed by nation with both
+    dims broadcast; every window after that runs over the |nations| frame
+    — metadata-scale."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sh = rev.select(
+        "n_name",
+        "rev_cents",
+        F.expr(f"({ALLOC_UNITS} * rev_cents) div sum(rev_cents) over ()").alias(
+            "fl"
+        ),
+        (F.lit(ALLOC_UNITS) * F.col("rev_cents"))
+        .__mod__(F.sum("rev_cents").over(everything))
+        .alias("rem"),
+    )
+    rk = sh.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "n_name"))
+        .alias("rnk"),
+        (F.lit(ALLOC_UNITS) - F.sum("fl").over(everything)).alias("leftover"),
+    )
+    return rk.select(
+        "n_name",
+        "rev_cents",
+        (
+            F.col("fl") + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_units"),
+    )

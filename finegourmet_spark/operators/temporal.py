@@ -664,3 +664,167 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("wsum div span_us").cast("bigint").alias("twa_e2"),
         )
     )
+
+
+CUSUM_K = 4  # flag days where |cusum of n-scaled deviations| > K·mean|dev|·n
+
+
+@query(
+    "q_cusum_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT d, rev_cents,
+             count(*) OVER () * rev_cents - SUM(rev_cents) OVER () AS dev_n
+      FROM daily
+    ), r AS (
+      SELECT d, rev_cents, dev_n,
+             SUM(dev_n) OVER (ORDER BY d) AS cusum_n,
+             SUM(abs(dev_n)) OVER () // count(*) OVER () AS mean_abs_dev
+      FROM c
+    )
+    SELECT d, rev_cents, CAST(cusum_n AS BIGINT) AS cusum_n,
+           abs(cusum_n) > {CUSUM_K} * mean_abs_dev AS drifted
+    FROM r
+    """,
+)
+def q_cusum_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on daily revenue — the change-point screen of
+    the monitoring family: accumulate deviations from the series mean and
+    flag days where the running sum exceeds {CUSUM_K}× the mean absolute
+    deviation (a sustained shift integrates; day-level noise cancels).
+
+    Division-free deviations via the n-scaling trick (q_outlier_zscore's):
+    dev_n = n·x − Σx is exact integer and may go NEGATIVE — safe, because
+    the only divisions (mean |dev|, the threshold) have nonnegative
+    operands, where Spark's truncating `div` equals DuckDB's flooring `//`;
+    the cusum itself is pure addition. Magnitudes stay in int64: at sf1,
+    n·x ≈ 4e13 and the worst-case cusum ≈ 7e15. Scale shape: one
+    map-side-combined day collapse, then every window runs over the
+    calendar-bounded daily frame — metadata-scale."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        "d",
+        "rev_cents",
+        (
+            F.count(F.lit(1)).over(everything) * F.col("rev_cents")
+            - F.sum("rev_cents").over(everything)
+        ).alias("dev_n"),
+    )
+    r = c.select(
+        "d",
+        "rev_cents",
+        F.sum("dev_n").over(Window.orderBy("d")).alias("cusum_n"),
+        F.expr("sum(abs(dev_n)) over () div count(*) over ()").alias(
+            "mean_abs_dev"
+        ),
+    )
+    return r.select(
+        "d",
+        "rev_cents",
+        F.col("cusum_n").cast("bigint").alias("cusum_n"),
+        (F.abs(F.col("cusum_n")) > CUSUM_K * F.col("mean_abs_dev")).alias(
+            "drifted"
+        ),
+    )
+
+
+ACF_MAX_LAG = 7  # autocorrelation lags reported by q_autocorr_lag
+
+
+@query(
+    "q_autocorr_lag",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT x, row_number() OVER (ORDER BY d) AS i,
+             CAST(count(*) OVER () * x - SUM(x) OVER () AS HUGEINT) AS c
+      FROM daily
+    ), den AS (
+      SELECT SUM(c * c) AS den FROM idx
+    ), pairs AS (
+      SELECT k.k, a.c * b.c AS prod
+      FROM (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k) k
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.i = a.i + k.k
+    ), num AS (
+      SELECT k, SUM(prod) AS num, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS lag, n_pairs,
+           CAST(CASE WHEN num >= 0 THEN (1000000 * num) // den
+                ELSE -((1000000 * -num) // den) END AS BIGINT) AS r_ppm
+    FROM num CROSS JOIN den
+    """,
+)
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} autocorrelation of the daily event-count series
+    — the seasonality probe of the time-series family (a weekly cycle shows
+    up as a lag-7 peak).
+
+    The estimator r_k = Σ(x_t−μ)(x_t+k−μ) / Σ(x_t−μ)² is made integer-exact
+    by clearing μ = S/n through n-scaling: c_t = n·x_t − S, giving
+    r_k = Σ c_t·c_t+k / Σ c_t² with every term an exact integer. Products
+    reach ~4e18 at sf1 (past int64's comfort) so they ride decimal(38,0) /
+    HUGEINT like q_crosstab_chi2. Numerators go NEGATIVE, and Spark `div`
+    truncates while DuckDB `//` floors — so the ppm ratio is computed as
+    sign·((1e6·|num|) div den), which both engines agree on. Scale shape:
+    one map-side-combined day collapse; the lag self-join and every window
+    run over the calendar-bounded daily frame — metadata-scale."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        (
+            F.count(F.lit(1)).over(everything) * F.col("x")
+            - F.sum("x").over(everything)
+        )
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    den = idx.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    a = idx.select(F.col("i"), F.col("c").alias("ca")).crossJoin(F.broadcast(ks))
+    b = idx.select(F.col("i").alias("j"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("j") == F.col("i") + F.col("k"))
+    num = pairs.groupBy("k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("num"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("num") >= 0, F.expr("(1000000 * num) div den")
+            )
+            .otherwise(-F.expr("(1000000 * -num) div den"))
+            .cast("bigint")
+            .alias("r_ppm"),
+        )
+    )
