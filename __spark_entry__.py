@@ -99,7 +99,8 @@ _PRIORITY = [
     # Jaccard
     "q_skyline_pareto", "q_allocation_largest_remainder", "q_benford_profile",
     "q_column_profile", "q_histogram_equidepth", "q_cusum_anomaly",
-    "q_autocorr_lag", "q_rfm_segmentation",
+    "q_autocorr_lag", "q_rfm_segmentation", "q_inverted_index",
+    "q_fuzzy_join_levenshtein", "q_graph_jaccard_neighbors",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -851,3 +851,66 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_common) div n_smaller").cast("bigint"),
         )
     )
+
+
+LEV_MAX = 4  # fuzzy-name match threshold (edit distance)
+
+
+@query(
+    "q_fuzzy_join_levenshtein",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+    """,
+)
+def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: near-identical part names by edit
+    distance ≤ {LEV_MAX}, BLOCKED on the head noun (the 'small ring' /
+    'red ring' family) — the classic record-linkage shape: a cheap exact
+    blocking key bounds the candidate set, the expensive string metric
+    runs only within blocks.
+
+    Scale shape: collapse to the DISTINCT-name vocabulary first (with
+    per-name row counts carried along) — the quadratic metric runs on
+    vocabulary², never rows²; the block equi-join keeps it at
+    Σ(block size)². levenshtein() is a built-in JVM expression in Spark
+    and a native function in DuckDB — identical classic edit-distance
+    semantics, integer-exact. The a < b guard emits each pair once."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy(
+            "p_name", F.expr("split_part(p_name, ' ', 2)").alias("noun")
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("noun"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("noun") == F.col("noun_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("dist") <= LEV_MAX)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )

@@ -262,3 +262,96 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("closure_ppm"),
     )
+
+
+JACC_MIN_COMMON = 3  # minimum shared neighbors for a link-prediction pair
+JACC_TOPN = 20
+
+
+@query(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    wedges AS (
+      SELECT x.dst AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS common
+      FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY 1, 2
+      HAVING count(*) >= {JACC_MIN_COMMON}
+    ), cand AS (
+      SELECT w.u, w.v, w.common
+      FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.src = w.u AND e.dst = w.v)
+    ), jac AS (
+      SELECT c.u, c.v, c.common,
+             CAST((1000000 * c.common)
+                  // (du.d + dv.d - c.common) AS BIGINT) AS jaccard_ppm
+      FROM cand c
+      JOIN deg du ON du.src = c.u
+      JOIN deg dv ON dv.src = c.v
+    )
+    SELECT CAST(row_number() OVER (ORDER BY jaccard_ppm DESC, u, v) AS INT)
+             AS rank,
+           u AS part_a, v AS part_b, common, jaccard_ppm
+    FROM jac
+    ORDER BY jaccard_ppm DESC, u, v
+    LIMIT {JACC_TOPN}
+    """,
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: top-{JACC_TOPN}
+    NON-adjacent part pairs by neighborhood Jaccard similarity
+    |N(u)∩N(v)| / |N(u)∪N(v)| with ≥{JACC_MIN_COMMON} shared neighbors —
+    the common-neighbors recommender ('parts bought alongside the same
+    things, never together yet').
+
+    Pipeline: wedge enumeration through each center (ONE hash(src)
+    self-join of the edge list — the exchange is planned once and reused),
+    u<v canonicalization, pair-count agg, anti-join against the edge list
+    to drop already-adjacent pairs, two node-scale degree joins, then
+    floor-ppm Jaccard via |N∪| = d(u)+d(v)−common (all integer, nonneg —
+    `div` ≡ `//`). Honest scale note: per-center wedge fan-out is C(d,2),
+    so hub degrees dominate cost (Σd² worst case) — unlike the triangle
+    census, the pair COUNT itself needs every wedge, so the degree-
+    orientation trick does not apply; the production knob is a hub cap
+    (drop centers above a degree ceiling, documented-approximate) or the
+    min-common HAVING pushed into a semi-join prefilter. The final
+    metadata-scale rank window runs on the thresholded candidate set."""
+    edges = _edges(spark, sf_dir)
+    x = edges.select(F.col("src").alias("c_"), F.col("dst").alias("u"))
+    y = edges.select(F.col("src").alias("c2"), F.col("dst").alias("v"))
+    wedges = (
+        x.join(y, (F.col("c_") == F.col("c2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= JACC_MIN_COMMON)
+    )
+    cand = wedges.join(
+        edges,
+        (wedges["u"] == edges["src"]) & (wedges["v"] == edges["dst"]),
+        "left_anti",
+    )
+    deg = _degrees(edges)
+    du = deg.select(F.col("src").alias("un"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("vn"), F.col("d").alias("dv"))
+    jac = (
+        cand.join(du, cand["u"] == du["un"])
+        .join(dv, cand["v"] == dv["vn"])
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("(1000000 * common) div (du + dv - common)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+    top = jac.orderBy(F.col("jaccard_ppm").desc(), "u", "v").limit(JACC_TOPN)
+    w = Window.orderBy(F.col("jaccard_ppm").desc(), "u", "v")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "common",
+        "jaccard_ppm",
+    )

@@ -1301,3 +1301,46 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+POSTINGS_HEAD = 20  # posting-list head length kept in the index result
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH td AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+      FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           (list(doc_id ORDER BY doc_id))[1:{POSTINGS_HEAD}] AS postings
+    FROM td GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the IR core every search / retrieval pipeline
+    materializes: term → document frequency + the posting list (sorted
+    doc_ids), head-capped at {POSTINGS_HEAD} entries per term for the
+    result contract (a production index stores the full list SHARDED by
+    term — same shuffle shape, segmented sink).
+
+    One explode → distinct (term, doc_id) — dedup BEFORE the heavy agg so a
+    term repeated in a document costs one row, not tf rows — then ONE
+    term-keyed agg computing df and the sorted posting head
+    (sort_array(collect_list) is deterministic where collect_list alone is
+    not: the q_string_agg lesson; per-group memory is bounded by df, and
+    the head cap bounds the RESULT row width). Hot terms are the skew case:
+    banded re-aggregation (the q_agg_salted pattern) is the knob when a
+    stopword's df concentrates one reducer."""
+    td = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"), "doc_id")
+        .distinct()
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
+            "postings"
+        ),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import re
 from typing import Any
 
 import duckdb
@@ -68,9 +69,15 @@ def _canon_arrow_type(t: str) -> str:
     one tag — the driver is proven tolerant of int32-vs-int64 (r2: q_pivot,
     q_window_rank etc. were hash-green with rank() int32 vs DuckDB BIGINT) —
     but decimal-vs-int is NOT tolerated (r2: q_pack_sequences hash-failed on
-    DuckDB HUGEINT → decimal128(38,0) vs Spark BIGINT)."""
+    DuckDB HUGEINT → decimal128(38,0) vs Spark BIGINT). List types
+    normalize the (engine-specific) element field name away — DuckDB emits
+    list<l: int64>, Spark's canon emits list<item: int> — and canonicalize
+    the element type recursively."""
     t = t.replace("large_string", "string").replace("large_utf8", "string")
     t = t.replace("utf8", "string")
+    m = re.fullmatch(r"(?:large_)?list<\w+: (.*)>", t)
+    if m:
+        return f"list<item: {_canon_arrow_type(m.group(1))}>"
     if t in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"):
         return "int"
     if t.startswith("timestamp"):
