@@ -507,6 +507,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("mon_cents"),
         )
+        # three consumers (anchor, quartile boundaries, scores) — pin the
+        # customer-grain frame once (the q_graph_triangles lesson) or Spark
+        # re-runs the orders scan + agg for each
+        .localCheckpoint()
     )
     anch = cust.agg(F.max("last_d").alias("anchor"))
     r = cust.crossJoin(F.broadcast(anch)).select(

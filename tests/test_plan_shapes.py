@@ -379,3 +379,69 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old,
         )
+
+
+def test_skyline_no_allpairs_dominance(spark, sf_dir):
+    """q_skyline_pareto: the dominance test must NOT be an all-pairs join —
+    the plan is per-size agg → metadata-scale frontier window → broadcast
+    equi-join back. One SinglePartition exchange (the |sizes|-row window),
+    never a nested-loop or cartesian dominance pass."""
+    tree = _extended_tree(QUERIES["q_skyline_pareto"](spark, sf_dir))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_histogram_equidepth_no_global_sort(spark, sf_dir):
+    """q_histogram_equidepth: the naive ntile formulation would
+    range-partition (globally sort) the fact table; the boundary-broadcast
+    plan has NO rangepartitioning exchange and NO window — binning is a
+    projection under the final hash agg."""
+    tree = _extended_tree(QUERIES["q_histogram_equidepth"](spark, sf_dir))
+    assert "rangepartitioning" not in tree, tree
+    assert "Window [" not in tree, tree
+
+
+def test_rfm_reads_orders_once(spark, sf_dir):
+    """q_rfm_segmentation: the per-customer aggregate is pinned
+    (localCheckpoint) before its three consumers, so the final plan reads
+    the pinned customer frame — ZERO parquet re-scans of orders — and no
+    window operator appears anywhere (boundary comparison replaced
+    ntile)."""
+    tree = _extended_tree(QUERIES["q_rfm_segmentation"](spark, sf_dir))
+    assert "Scan parquet" not in tree, tree
+    assert "Window [" not in tree, tree
+    assert "rangepartitioning" not in tree, tree
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """q_column_profile: all four columns' statistics come from ONE scan of
+    orders (the multi-distinct Expand), not a per-column UNION of scans
+    like the oracle states."""
+    tree = _extended_tree(QUERIES["q_column_profile"](spark, sf_dir))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree, tree
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    """q_fuzzy_join_levenshtein: the block key makes the candidate join an
+    EQUI join (hash/sort-merge) — a nested-loop levenshtein over all name
+    pairs is the anti-pattern this blocks."""
+    tree = _extended_tree(QUERIES["q_fuzzy_join_levenshtein"](spark, sf_dir))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_inverted_index_partial_distinct_below_exchange(spark, sf_dir):
+    """q_inverted_index: the (term, doc_id) distinct must partially
+    aggregate map-side BEFORE its exchange, so the shuffle carries
+    per-partition-deduped pairs — the same collapse-first discipline as
+    retention's day grain."""
+    import re
+
+    tree = _extended_tree(QUERIES["q_inverted_index"](spark, sf_dir))
+    m = re.search(r"Exchange hashpartitioning\(term#\d+, doc_id#\d+", tree)
+    assert m, tree
+    below = tree[m.end():]
+    assert re.search(r"HashAggregate\(keys=\[term#\d+, doc_id#\d+", below), tree
