@@ -101,6 +101,11 @@ _PRIORITY = [
     "q_column_profile", "q_histogram_equidepth", "q_cusum_anomaly",
     "q_autocorr_lag", "q_rfm_segmentation", "q_inverted_index",
     "q_fuzzy_join_levenshtein", "q_graph_jaccard_neighbors",
+    # round-3 sixth-wave ops (all oracle-backed, r4-rotation candidates):
+    # BM25 ranking, weighted systematic sampling, market-basket rules,
+    # cohort LTV, conversion latency, ABC/Pareto classification
+    "q_bm25_topk", "q_sample_weighted", "q_assoc_rules", "q_cohort_ltv",
+    "q_funnel_latency", "q_abc_analysis",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -560,3 +560,140 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("mon_cents").cast("bigint").alias("monetary_cents"),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS m_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), coh AS (
+      SELECT o_custkey, min(m_idx) AS cohort FROM om GROUP BY 1
+    ), cm AS (
+      SELECT c.cohort, CAST(o.m_idx - c.cohort AS INT) AS month_offset,
+             SUM(o.cents) AS rev_cents
+      FROM om o JOIN coh c USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT cohort, month_offset, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_offset
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+             AS cum_ltv_cents
+    FROM cm
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue at each month offset, and the cumulative LTV curve per
+    cohort — the revenue twin of q_retention_cohorts (that one counts
+    users; finance asks for the money).
+
+    Months are integer indices (year·12+month) so offsets are exact int
+    subtraction (months_between returns fractional doubles). Scale shape:
+    collapse orders to (customer, month) grain FIRST (map-side combined);
+    each customer's cohort is a customer-keyed min over a column-pruned
+    second scan (custkey + orderdate only — pushdown-asserted pattern)
+    that joins back BROADCAST at this scale (billions of customers would
+    flip it to a co-partitioned SMJ — both sides key on custkey, so no
+    extra exchange either way); then the (cohort, offset) rollup and the
+    cumulative window run on the cohort×offset triangle —
+    calendar²-bounded, metadata-scale. Revenue is exact decimal cents."""
+    om = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("m_idx"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("m_idx").alias("cohort"))
+    cm = (
+        om.join(coh, "o_custkey")
+        .groupBy(
+            "cohort", (F.col("m_idx") - F.col("cohort")).cast("int").alias("month_offset")
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cm.select(
+        "cohort",
+        "month_offset",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_ltv_cents"),
+    )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY 1
+    ), conv AS (
+      SELECT (epoch_us(p) - epoch_us(v)) // 1000000 AS lat_s
+      FROM per_user WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converts,
+           CAST(min(lat_s) AS BIGINT) AS min_s,
+           CAST(quantile_disc(lat_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(lat_s, 0.9) AS BIGINT) AS p90_s,
+           CAST(max(lat_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: for users whose first purchase follows
+    their first view, the seconds between the two — count, min, exact
+    median, p90 and max. The companion metric to q_funnel (that one counts
+    conversions; growth asks how LONG they take).
+
+    ONE user-keyed conditional-min aggregate (map-side combined — no
+    window, no join), then integer microsecond subtraction floored to
+    whole seconds (epoch_us both engines; nonneg — p > v — so `div` ≡
+    `//`) and exact percentile_disc over the converts frame (the
+    q_outlier_mad convention and its cost honesty: exact percentiles
+    are the anchor, sketches are the 100 TB fast path)."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "p"
+            ),
+        )
+    )
+    conv = per_user.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("v"))
+    ).select(
+        F.expr("(unix_micros(p) - unix_micros(v)) div 1000000").alias("lat_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converts"),
+        F.min("lat_s").cast("bigint").alias("min_s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("bigint")
+        .alias("p50_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("lat_s").cast("bigint").alias("max_s"),
+    )

@@ -355,3 +355,84 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "common",
         "jaccard_ppm",
     )
+
+
+RULE_MIN_SUPPORT = 3  # minimum co-basket count for an association rule
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+    item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+    pair AS (
+      SELECT a.pk AS ante, b.pk AS cons, CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {RULE_MIN_SUPPORT}
+    )
+    SELECT p.ante, p.cons, p.n_ab,
+           CAST((1000000 * p.n_ab) // nb.n_orders AS BIGINT) AS support_ppm,
+           CAST((1000000 * p.n_ab) // ia.n AS BIGINT) AS confidence_ppm,
+           CAST((1000000 * p.n_ab * nb.n_orders) // (ia.n * ic.n) AS BIGINT)
+             AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.pk = p.ante
+    JOIN item ic ON ic.pk = p.cons
+    CROSS JOIN nb
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules A → B over order baskets: for every
+    DIRECTED part pair co-bought in ≥{RULE_MIN_SUPPORT} orders, the three
+    classic measures — support (share of all baskets), confidence
+    (P(B|A) — the directed measure the symmetric q_cooccurrence_lift
+    cannot express), and lift — all as integer floor-ppm (nonneg operands,
+    `div` ≡ `//`; the lift numerator n_ab·N rides int64: ≤ 1e4·1.5e6 ≈
+    1e10 per million-fold scale headroom).
+
+    Scale shape: the basket self-join rides ONE hash(order) exchange with
+    per-order fan-out bounded by basket size² (the _edges discipline); the
+    pair count is map-side combined and the HAVING prunes the long tail
+    BEFORE the two node-scale item joins. The basket-count scalar
+    broadcasts."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        # consumed three times (basket scalar, item counts, pair self-join
+        # both sides) — pin once, the q_graph_triangles lesson
+        .localCheckpoint()
+    )
+    nb = op.agg(F.countDistinct("ok").alias("n_orders"))
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("ante"), F.col("b.pk").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("pk").alias("ante"), F.col("n").alias("n_a"))
+    ic = item.select(F.col("pk").alias("cons"), F.col("n").alias("n_c"))
+    return (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.expr("(1000000 * n_ab) div n_orders").cast("bigint").alias(
+                "support_ppm"
+            ),
+            F.expr("(1000000 * n_ab) div n_a").cast("bigint").alias(
+                "confidence_ppm"
+            ),
+            F.expr("(1000000 * n_ab * n_orders) div (n_a * n_c)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

@@ -1675,3 +1675,84 @@ def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("alloc_units"),
     )
+
+
+# ABC revenue-class boundaries as exact rationals of total revenue:
+# class A = parts up to 80% cumulative share, B to 95%, C the tail.
+ABC_A_NUM, ABC_A_DEN = 4, 5
+ABC_B_NUM, ABC_B_DEN = 19, 20
+
+
+@query(
+    "q_abc_analysis",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+             SUM(rev_cents) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN {ABC_A_DEN} * cum <= {ABC_A_NUM} * total THEN 'A'
+                  WHEN {ABC_B_DEN} * cum <= {ABC_B_NUM} * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_cents
+      FROM cum
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY 1
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank parts by revenue, class
+    A = the head covering 80% of cumulative revenue, B to 95%, C the tail
+    — the classic operations-analytics cut ('which 20% of SKUs make 80% of
+    the money').
+
+    The cumulative share needs a GLOBAL prefix sum in revenue order — the
+    naive window is a SinglePartition sort over every part, so the engine
+    uses the hierarchical running_total (functions/ids.py: range-partition
+    on (−revenue, partkey), per-partition sums, driver offsets) — the
+    q_sample_weighted / q_surrogate_keys_scalable machinery; the oracle
+    states the same semantics as one window. Class tests are integer
+    cross-multiplications ({ABC_A_DEN}·cum ≤ {ABC_A_NUM}·total), never a
+    share division; revenue is exact decimal cents. The final class
+    rollup is 3 rows."""
+    from finegourmet_spark.functions.ids import running_total
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+        .withColumn("neg_rev", -F.col("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total"))
+    cum = running_total(rev, ["neg_rev", "l_partkey"], "rev_cents", "cum")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(
+                ABC_A_DEN * F.col("cum") <= ABC_A_NUM * F.col("total"), "A"
+            )
+            .when(ABC_B_DEN * F.col("cum") <= ABC_B_NUM * F.col("total"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_cents",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -1344,3 +1344,182 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
+
+
+# BM25 parameters as exact rationals: k1 = 1.2 = 6/5, b = 0.75 = 3/4.
+# Clearing denominators by 20·L (L = total corpus tokens) turns the
+# per-term saturation ratio into pure integers:
+#   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))  ==  44·L·tf / (20·L·tf + 6·L + 18·dl·N)
+BM25_QUERY = ("spark", "hash", "window")
+BM25_TOP = 10
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ), toks_ok AS (
+      SELECT doc_id, term FROM toks WHERE length(term) > 0
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks_ok GROUP BY 1
+    ), scal AS (
+      SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+             CAST((SELECT SUM(dl) FROM dl) AS BIGINT) AS l
+    ), qtf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks_ok WHERE term IN {BM25_QUERY!r} GROUP BY 1, 2
+    ), qdf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+    ), scored AS (
+      SELECT q.doc_id,
+             (CAST(floor(1000000.0 * ln(1.0 + (s.n - d.df + 0.5)
+                                              / (d.df + 0.5))) AS HUGEINT)
+              * 44 * s.l * q.tf)
+             // (20 * s.l * q.tf + 6 * s.l + 18 * dl.dl * s.n) AS term_score
+      FROM qtf q
+      JOIN qdf d USING (term)
+      JOIN dl ON dl.doc_id = q.doc_id
+      CROSS JOIN scal s
+    ), total AS (
+      SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_micro
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, score_micro
+    FROM total
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-{BM25_TOP} documents for the fixed query
+    {BM25_QUERY} — the ranking function behind Lucene/Elasticsearch and
+    most retrieval-augmented pipelines, completing the IR family
+    (q_inverted_index stores, q_tfidf_topterms summarizes, this ranks).
+
+    Integer-exact scoring: the tf-saturation ratio is cleared of its
+    rational constants (k1=6/5, b=3/4) by multiplying through with 20·L —
+    44·L·tf / (20·L·tf + 6·L + 18·dl·N), every term an exact integer
+    (decimal(38,0)/HUGEINT — the product idf·44·L·tf reaches ~1e19 at
+    sf0.1) — and the idf is Lucene's nonnegative ln(1+(N−df+0.5)/(df+0.5))
+    quantized once per distinct df to integer micro-nats (the
+    q_tfidf_topterms convention; floor can flip only within an ulp of a
+    1e-6 grid point, per DISTINCT df not per row). Division operands are
+    nonnegative, so `div` ≡ `//`.
+
+    Scale shape: the query-term filter prunes the token stream to the ≤3
+    query terms BEFORE the tf aggregate (predicate pushdown against the
+    explode — the corpus-wide work is only the doc-length agg), df and the
+    two scalars broadcast, and the final rank runs on the matched-doc
+    frame."""
+    from finegourmet_spark.operators.dedup import normalized_text
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    l_tot = dl.agg(F.sum("dl").alias("l"))
+    scal = n_docs.crossJoin(l_tot)  # 1 row × 1 row
+    qtf = (
+        toks.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_micro = F.floor(
+        F.lit(1000000.0)
+        * F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    ).cast("decimal(38,0)")
+    scored = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            (
+                (idf_micro * 44 * F.col("l") * F.col("tf"))
+            ).alias("num"),
+            (
+                20 * F.col("l") * F.col("tf")
+                + 6 * F.col("l")
+                + 18 * F.col("dl") * F.col("n")
+            )
+            .cast("decimal(38,0)")
+            .alias("den"),
+        )
+        .select("doc_id", F.expr("num div den").alias("term_score"))
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("bigint").alias("score_micro")
+    )
+    top = total.orderBy(F.col("score_micro").desc(), "doc_id").limit(BM25_TOP)
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score_micro"
+    )
+
+
+SAMPLE_STRIDES = 100  # target picks for weighted systematic sampling
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH cum AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST((cum - n_chars) // (total // {SAMPLE_STRIDES}) AS BIGINT)
+             AS bucket
+    FROM cum
+    WHERE (cum - n_chars) // (total // {SAMPLE_STRIDES})
+          < cum // (total // {SAMPLE_STRIDES})
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional SYSTEMATIC sampling of documents (weight =
+    n_chars): lay all weights end to end, cut the line into
+    {SAMPLE_STRIDES} equal strides, keep each document whose span crosses
+    a stride boundary — every document is picked with probability
+    proportional to its weight, deterministically (the integer-exact
+    sibling of weighted reservoir sampling, whose u^(1/w) keys are
+    FP-ambiguous across engines).
+
+    The cumulative weight comes from the hierarchical two-phase
+    running_total (functions/ids.py — per-partition sums, driver offsets,
+    local cumsum), NOT a global window: the oracle's SUM OVER (ORDER BY)
+    states the semantics, the engine never runs a SinglePartition stage
+    over the corpus (the q_pack_sequences lesson, plan-asserted). Selection
+    and bucket arithmetic are pure integer floor divisions on nonnegative
+    operands."""
+    from finegourmet_spark.functions.ids import running_total
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tot = d.agg(F.sum("n_chars").alias("total"))
+    cum = running_total(d, ["doc_id"], "n_chars", "cum")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("_before", F.col("cum") - F.col("n_chars"))
+        .filter(
+            F.expr(f"_before div (total div {SAMPLE_STRIDES})")
+            < F.expr(f"cum div (total div {SAMPLE_STRIDES})")
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(f"_before div (total div {SAMPLE_STRIDES})")
+            .cast("bigint")
+            .alias("bucket"),
+        )
+    )

@@ -445,3 +445,49 @@ def test_inverted_index_partial_distinct_below_exchange(spark, sf_dir):
     assert m, tree
     below = tree[m.end():]
     assert re.search(r"HashAggregate\(keys=\[term#\d+, doc_id#\d+", below), tree
+
+
+def _windows_are_pid_local(tree: str) -> bool:
+    """True iff every Window operator partitions by the two-phase assigner's
+    _pid column — i.e. runs partition-parallel, never as a global window."""
+    return all(
+        "_pid#" in line.split("windowspecdefinition", 1)[1][:120]
+        for line in tree.splitlines()
+        if "windowspecdefinition" in line
+    )
+
+
+def test_sample_weighted_no_global_window(spark, sf_dir):
+    """q_sample_weighted: the corpus-wide cumulative weight comes from the
+    hierarchical running_total — every window in the plan is the
+    partition-LOCAL (_pid-keyed) cumsum, and the only SinglePartition
+    exchange is the scalar total's 1-row aggregate; the oracle's global
+    SUM OVER states semantics, not the plan."""
+    tree = _extended_tree(QUERIES["q_sample_weighted"](spark, sf_dir))
+    assert _windows_are_pid_local(tree), tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+
+
+def test_abc_no_global_window(spark, sf_dir):
+    """q_abc_analysis: same contract — the revenue-ordered prefix sum is
+    two-phase (range partition + driver offsets + _pid-local cumsum),
+    never a SinglePartition sort over the part frame."""
+    tree = _extended_tree(QUERIES["q_abc_analysis"](spark, sf_dir))
+    assert _windows_are_pid_local(tree), tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+
+
+def test_bm25_prunes_tokens_before_tf(spark, sf_dir):
+    """q_bm25_topk: the query-term filter must sit BELOW the tf aggregate
+    (prune the exploded token stream to ≤|query| terms before any
+    shuffle), and the final ranking is the TakeOrdered path."""
+    tree = _extended_tree(QUERIES["q_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree, tree
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(doc_id#\d+L?, term#\d+", tree)
+    assert m, tree
+    below = tree[m.end():]
+    assert re.search(r"Filter .*term#\d+ IN", below) or re.search(
+        r"term#\d+ INSET", below
+    ), tree
