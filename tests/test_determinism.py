@@ -91,3 +91,40 @@ def test_wave4_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE56 = [
+    "q_skyline_pareto", "q_allocation_largest_remainder", "q_benford_profile",
+    "q_column_profile", "q_histogram_equidepth", "q_cusum_anomaly",
+    "q_autocorr_lag", "q_rfm_segmentation", "q_inverted_index",
+    "q_fuzzy_join_levenshtein", "q_graph_jaccard_neighbors",
+    "q_bm25_topk", "q_sample_weighted", "q_assoc_rules", "q_cohort_ltv",
+    "q_funnel_latency", "q_abc_analysis",
+]
+
+
+def test_wave56_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every fifth/sixth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — including the two
+    running_total-based ops (q_sample_weighted, q_abc_analysis), whose
+    two-phase prefix sums re-sample range boundaries per evaluation."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE56:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_prefix_sum_ops_repetition_stable(spark, sf_dir):
+    """10 independent evaluations of the two prefix-sum-based wave-6 ops
+    (fresh checkpoints, freshly sampled range boundaries each time) must be
+    bit-identical — the q_pack_sequences hardening applied to its
+    descendants."""
+    for name in ("q_sample_weighted", "q_abc_analysis"):
+        results = {_canon(QUERIES[name](spark, sf_dir)) for _ in range(10)}
+        assert len(results) == 1, name
