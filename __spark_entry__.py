@@ -106,6 +106,10 @@ _PRIORITY = [
     # cohort LTV, conversion latency, ABC/Pareto classification
     "q_bm25_topk", "q_sample_weighted", "q_assoc_rules", "q_cohort_ltv",
     "q_funnel_latency", "q_abc_analysis",
+    # round-3 seventh-wave ops (all oracle-backed, r4-rotation candidates):
+    # exact sketch-verified heavy hitters, rolling median, Theil-Sen
+    # robust trend, session path mining
+    "q_heavy_hitters", "q_rolling_median", "q_theil_sen", "q_session_paths",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -697,3 +697,97 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_s"),
         F.max("lat_s").cast("bigint").alias("max_s"),
     )
+
+
+PATH_LEN = 5  # leading event types kept per session path
+PATH_TOPN = 20
+
+from finegourmet_spark.operators.temporal import SESSION_GAP_US  # noqa: E402
+# single-sourced with q_sessionize so the two session definitions can't drift
+
+
+@query(
+    "q_session_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US} OR
+                          lag(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sno
+      FROM flagged
+    ), paths AS (
+      SELECT array_to_string(
+               (list(event_type ORDER BY us, event_id))[1:{PATH_LEN}], '>')
+               AS path
+      FROM sess GROUP BY user_id, sno
+    ), counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
+             AS rank,
+           path, n_sessions
+    FROM counted
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPN}
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the top-{PATH_TOPN} most common leading event
+    sequences (first {PATH_LEN} event types per 30-minute-gap session,
+    joined 'view>click>…') — the product-analytics 'user flows' report,
+    built on the same sessionization as q_sessionize (temporal.py).
+
+    One hash(user_id) exchange carries the gap-flag window, the running
+    session number AND the per-session path collect (co-partitioned); the
+    path string is a sorted-struct collect (the q_string_agg determinism
+    rule — collect_list alone is partition-order-nondeterministic) sliced
+    to {PATH_LEN} entries, so per-group memory is bounded by session
+    length. The path histogram and rank run on the distinct-path frame."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sno",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    paths = sess.groupBy("user_id", "sno").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                PATH_LEN,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counted.orderBy(F.col("n_sessions").desc(), "path").limit(PATH_TOPN)
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"), "path", "n_sessions"
+    )

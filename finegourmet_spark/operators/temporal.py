@@ -828,3 +828,135 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_ppm"),
         )
     )
+
+
+ROLL_MED_DAYS = 7  # trailing window width for the rolling median
+
+
+@query(
+    "q_rolling_median",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), days AS (SELECT d FROM daily),
+    contrib AS (
+      SELECT daily.d + CAST(x.j AS INTEGER) AS rd, daily.cents
+      FROM daily,
+           (SELECT unnest(generate_series(0, {ROLL_MED_DAYS - 1})) AS j) x
+    )
+    SELECT c.rd AS report_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(quantile_disc(c.cents, 0.5) AS BIGINT) AS med_cents
+    FROM contrib c JOIN days dy ON c.rd = dy.d
+    GROUP BY 1
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLL_MED_DAYS}-day rolling MEDIAN of daily revenue — the
+    robust smoother dashboards want where a rolling mean chases outlier
+    days. Exact sliding medians have no mergeable incremental form, so the
+    scalable exact pattern is the q_rolling_active_users contribution
+    explode: collapse to day grain FIRST (map-side combined, exact decimal
+    cents), fan each day's value to the ≤{ROLL_MED_DAYS} report days it
+    influences (bounded explode — never a range join), keep observed days
+    via a broadcast of the calendar-scale day list, then one exact
+    percentile_disc per report day over ≤{ROLL_MED_DAYS} values. Shuffle
+    volume is {ROLL_MED_DAYS}× the calendar frame — independent of order
+    count."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    days = daily.select("d")
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", ROLL_MED_DAYS - 1))
+        ).alias("rd"),
+        "cents",
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib["rd"] == days["d"])
+        .groupBy(F.col("rd").alias("report_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("bigint")
+            .alias("med_cents"),
+        )
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN b.y >= a.y
+                  THEN (1000000 * (b.y - a.y)) // (b.x - a.x)
+                  ELSE -((1000000 * (a.y - b.y)) // (b.x - a.x)) END AS s
+      FROM daily a JOIN daily b ON b.x > a.x
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_disc(s, 0.5) AS BIGINT) AS slope_e6_per_day
+    FROM pairs
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series: the median
+    of all pairwise slopes — the estimator that shrugs off the outlier
+    days a least-squares fit pivots on (and, unlike OLS, needs no FP
+    sums-of-squares).
+
+    Each pairwise slope is integer micro-units via sign-split floor
+    division ((1e6·Δy) div Δx with Δy's sign factored out — Spark `div`
+    truncates, DuckDB `//` floors, they agree only on nonneg operands:
+    the q_autocorr_lag rule); the median is exact percentile_disc.
+    Scale shape: the day-grain collapse is the only event-scale work; the
+    pairwise self-join is calendar²-bounded (≤ days² rows — ~80k pairs
+    for a year), i.e. metadata-scale by construction, NOT an O(N²) blowup
+    over events."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))), F.lit("1970-01-01")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.when(
+            F.col("yb") >= F.col("ya"),
+            F.expr("(1000000 * (yb - ya)) div (xb - xa)"),
+        )
+        .otherwise(-F.expr("(1000000 * (ya - yb)) div (xb - xa)"))
+        .alias("s")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)")
+            .cast("bigint")
+            .alias("slope_e6_per_day"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "slope_e6_per_day")
+    )

@@ -1523,3 +1523,77 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+HH_K = 50  # heavy-hitter threshold denominator: report terms with freq > n/K
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ), toks_ok AS (
+      SELECT term FROM toks WHERE length(term) > 0
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM toks_ok
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks_ok CROSS JOIN tot
+    GROUP BY term, tot.n
+    HAVING count(*) * {HH_K} > n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: every token with frequency > n/{HH_K} of the
+    corpus token stream — via the two-phase SKETCH-THEN-VERIFY pattern that
+    replaces a full vocabulary aggregation at 100 TB: a per-partition
+    Misra-Gries summary (capacity {HH_K} counters, mapInPandas — Arrow
+    batches, state carried across a partition's batches) nominates
+    candidates, then ONE semi-joined exact recount confirms or rejects
+    them. Pigeonhole guarantee: an item with global freq > n/{HH_K} has
+    freq > n_p/{HH_K} in at least one partition, so it MUST survive that
+    partition's summary — no false negatives; the recount removes the
+    false positives, making the output exact and deterministic (the
+    oracle is the plain GROUP BY/HAVING the sketch avoids).
+
+    Scale shape: the candidate set is ≤ {HH_K}·partitions rows
+    (metadata-scale, broadcast back); the only term-keyed shuffle
+    aggregates the candidate-filtered stream. Python touches data ONLY
+    through the Arrow-vectorized Misra-Gries pass."""
+    import pandas as pd
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+
+    def mg(batches):
+        # Merged Misra-Gries: fold each Arrow batch's value_counts into the
+        # summary (vectorized — no per-token Python), then restore capacity
+        # by subtracting the k-th largest count from everything and dropping
+        # non-positives (the standard MG merge; total subtracted mass stays
+        # ≤ n_p/(K+1), preserving the no-false-negative guarantee).
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, cnt in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(cnt)
+            if len(counters) > HH_K:
+                cut = sorted(counters.values(), reverse=True)[HH_K]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = toks.mapInPandas(mg, "term string").distinct()
+    n_tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("n_occurrences") * HH_K > F.col("n"))
+        .select("term", "n_occurrences")
+    )
