@@ -110,6 +110,10 @@ _PRIORITY = [
     # exact sketch-verified heavy hitters, rolling median, Theil-Sen
     # robust trend, session path mining
     "q_heavy_hitters", "q_rolling_median", "q_theil_sen", "q_session_paths",
+    # round-3 eighth-wave ops (all oracle-backed, r4-rotation candidates):
+    # kNN confusion matrix, time-constrained funnel, order-gap histogram,
+    # chunk-level boilerplate dedup
+    "q_knn_confusion", "q_funnel_windowed", "q_order_gaps", "q_dedup_chunks",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

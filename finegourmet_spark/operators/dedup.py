@@ -914,3 +914,72 @@ def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= LEV_MAX)
         .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
     )
+
+
+CHUNK_DUP_MIN_DOCS = 2  # a chunk is boilerplate when ≥2 distinct docs carry it
+
+
+@query(
+    "q_dedup_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[(i * 20 + 1):((i + 1) * 20)], ' '))
+               AS chunk_hash
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS u(i)
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM chunks
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= {CHUNK_DUP_MIN_DOCS}
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document exact dedup: chunk every document into the training
+    pipeline's context windows (q_chunk_documents' 20-token slices) and
+    report chunks shared by ≥{CHUNK_DUP_MIN_DOCS} distinct documents —
+    the boilerplate detector (headers, disclaimers, templated spans) that
+    whole-document dedup (q_dedup_exact) cannot see and set-similarity
+    (q_containment_dedup) only sees when the overlap dominates a
+    document. The production remediation drops or down-weights the
+    flagged chunks, not the documents.
+
+    Scale shape: chunking is a pure projection (no shuffle); the ONE
+    chunk-keyed exchange carries (16-byte md5, doc_id) — never
+    chunk text (the q_dedup_exact discipline); both the distinct-doc
+    count and the min-doc witness ride the same hash agg, map-side
+    combined. Output is bounded by the duplicated-chunk vocabulary."""
+    from finegourmet_spark.operators.textops import CHUNK_TOKENS
+
+    assert CHUNK_TOKENS == 20  # oracle literal above; keep in lockstep
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("bigint")
+    chunks = d.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("tk"), F.col("i") * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= CHUNK_DUP_MIN_DOCS)
+    )

@@ -791,3 +791,172 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(wr).cast("int").alias("rank"), "path", "n_sessions"
     )
+
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # conversion deadline: 24h from first view
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             event_type
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'view' THEN us END) OVER w AS v_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND v_us IS NOT NULL
+                      AND us <= v_us + {FUNNEL_WINDOW_US}
+                      THEN us END) OVER w AS c_us
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s3 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND c_us IS NOT NULL
+                      AND us <= v_us + {FUNNEL_WINDOW_US}
+                      THEN us END) OVER w AS p_us
+      FROM s2
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), per_user AS (
+      SELECT user_id, min(v_us) AS v_us, min(c_us) AS c_us, min(p_us) AS p_us
+      FROM s3 GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(v_us) AS BIGINT) AS n1,
+             CAST(count(c_us) AS BIGINT) AS n2,
+             CAST(count(p_us) AS BIGINT) AS n3
+      FROM per_user
+    )
+    SELECT 1 AS stage, 'view' AS step, n1 AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_ppm FROM tot
+    UNION ALL SELECT 2, 'click', n2,
+           CAST(CASE WHEN n1 = 0 THEN 0
+                ELSE (1000000 * n2) // n1 END AS BIGINT) FROM tot
+    UNION ALL SELECT 3, 'purchase', n3,
+           CAST(CASE WHEN n1 = 0 THEN 0
+                ELSE (1000000 * n3) // n1 END AS BIGINT) FROM tot
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED ordered funnel (the ClickHouse windowFunnel /
+    Amplitude 'conversion window' semantics, anchored): view → click →
+    purchase where every later stage must land within 24h of the user's
+    FIRST view. q_funnel answers 'did they ever convert'; this answers
+    'did they convert while the intent was live' — the number growth
+    teams actually quote, with per-stage conversion in floor-ppm.
+
+    Same single-exchange plan as q_funnel (three chained min-over-prefix
+    windows + co-partitioned per-user reduction); the deadline is one
+    integer-µs comparison inside each window's CASE, so the plan shape is
+    unchanged. The anchored (first-view) deadline keeps the semantics
+    deterministic and window-expressible — a per-chain sliding deadline
+    (restart the clock at every view) needs the sessionize machinery
+    instead, which is what q_session_paths exercises."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        e.withColumn(
+            "v_us",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & F.col("v_us").isNotNull()
+                    & (F.col("us") <= F.col("v_us") + FUNNEL_WINDOW_US),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("c_us").isNotNull()
+                    & (F.col("us") <= F.col("v_us") + FUNNEL_WINDOW_US),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("v_us").alias("v_us"),
+        F.min("c_us").alias("c_us"),
+        F.min("p_us").alias("p_us"),
+    )
+    tot = per_user.agg(
+        F.count("v_us").alias("n1"),
+        F.count("c_us").alias("n2"),
+        F.count("p_us").alias("n3"),
+    )
+    return tot.selectExpr(
+        "stack(3,"
+        " 1, 'view', n1, cast(1000000 as bigint),"
+        " 2, 'click', n2,"
+        "    cast(if(n1 = 0, 0, (1000000 * n2) div n1) as bigint),"
+        " 3, 'purchase', n3,"
+        "    cast(if(n1 = 0, 0, (1000000 * n3) div n1) as bigint))"
+        " AS (stage, step, n_users, conv_ppm)"
+    )
+
+
+@query(
+    "q_order_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             o_orderkey
+      FROM orders
+    ), gaps AS (
+      SELECT CAST(d - lag(d) OVER (PARTITION BY o_custkey
+                                   ORDER BY d, o_orderkey) AS BIGINT) AS gap_days
+      FROM o
+    )
+    SELECT gap_days, CAST(count(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap histogram: days between a customer's consecutive
+    orders (total order (day, orderkey) — same-day reorders are 0-day
+    gaps), rolled up corpus-wide — the purchase-cadence profile behind
+    replenishment and churn-risk models (a customer 3× past their modal
+    gap is drifting).
+
+    ONE hash(o_custkey) exchange for the lag window; the histogram agg is
+    map-side combined and gap-cardinality-bounded. Pure date/int
+    arithmetic."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("bigint").alias("gap_days")
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("gap_days")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )

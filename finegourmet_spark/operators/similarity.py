@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finegourmet_spark.operators.registry import query
+from finegourmet_spark.operators.registry import ORACLES, QUERIES, query
 from finegourmet_spark.sources.testdata import load_table as t
 
 DIM = 64
@@ -644,5 +644,60 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nlabel").alias("pred_label"),
             "n_votes",
             (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "q_knn_confusion",
+    oracle=f"""
+    WITH knn AS ({ORACLES["q_knn_classify"]}),
+    cells AS (
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+      FROM knn GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT true_label, SUM(n) AS row_total FROM cells GROUP BY 1
+    ), cols_ AS (
+      SELECT pred_label, SUM(n) AS col_total FROM cells GROUP BY 1
+    )
+    SELECT c.true_label, c.pred_label, c.n,
+           CAST((1000000 * c.n) // r.row_total AS BIGINT) AS recall_ppm,
+           CAST((1000000 * c.n) // cl.col_total AS BIGINT) AS precision_ppm
+    FROM cells c
+    JOIN rows_ r USING (true_label)
+    JOIN cols_ cl USING (pred_label)
+    """,
+)
+def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-cell precision/recall for the k-NN
+    classifier — the evaluation-metric layer every embedding-quality
+    pipeline reports above raw predictions (q_knn_classify). Diagonal
+    cells carry the per-class recall (n/row_total) and precision
+    (n/col_total) in floor-ppm; off-diagonal cells localize WHICH labels
+    confuse.
+
+    Composes the registered classifier (one function call — the oracle
+    wraps the classifier's oracle as a CTE, so both layers stay in
+    lockstep if k or the probe split changes); everything after the
+    predictions frame is |labels|²-bounded — metadata-scale."""
+    knn = QUERIES["q_knn_classify"](spark, sf_dir)
+    cells = knn.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows_ = cells.groupBy("true_label").agg(F.sum("n").alias("row_total"))
+    cols_ = cells.groupBy("pred_label").agg(F.sum("n").alias("col_total"))
+    return (
+        cells.join(rows_, "true_label")
+        .join(cols_, "pred_label")
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.expr("(1000000 * n) div row_total").cast("bigint").alias(
+                "recall_ppm"
+            ),
+            F.expr("(1000000 * n) div col_total").cast("bigint").alias(
+                "precision_ppm"
+            ),
         )
     )

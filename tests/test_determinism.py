@@ -93,7 +93,7 @@ def test_wave4_ops_stable_across_shuffle_partitions(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
 
 
-WAVE567 = [
+WAVE5678 = [
     "q_skyline_pareto", "q_allocation_largest_remainder", "q_benford_profile",
     "q_column_profile", "q_histogram_equidepth", "q_cusum_anomaly",
     "q_autocorr_lag", "q_rfm_segmentation", "q_inverted_index",
@@ -101,17 +101,18 @@ WAVE567 = [
     "q_bm25_topk", "q_sample_weighted", "q_assoc_rules", "q_cohort_ltv",
     "q_funnel_latency", "q_abc_analysis",
     "q_heavy_hitters", "q_rolling_median", "q_theil_sen", "q_session_paths",
+    "q_knn_confusion", "q_funnel_windowed", "q_order_gaps", "q_dedup_chunks",
 ]
 
 
-def test_wave567_ops_stable_across_shuffle_partitions(spark, sf_dir):
-    """Every fifth/sixth/seventh-wave operator must produce the bit-identical
+def test_wave5678_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every fifth-through-eighth-wave operator must produce the bit-identical
     canonical result at shuffle widths 1, 7, and 32 — including the two
     running_total-based ops (q_sample_weighted, q_abc_analysis), whose
     two-phase prefix sums re-sample range boundaries per evaluation."""
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        for name in WAVE567:
+        for name in WAVE5678:
             results = set()
             for n in ("1", "7", "32"):
                 spark.conf.set("spark.sql.shuffle.partitions", n)
