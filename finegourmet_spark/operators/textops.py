@@ -1480,11 +1480,11 @@ SAMPLE_STRIDES = 100  # target picks for weighted systematic sampling
       FROM documents
     )
     SELECT doc_id, n_chars,
-           CAST((cum - n_chars) // (total // {SAMPLE_STRIDES}) AS BIGINT)
-             AS bucket
+           CAST((cum - n_chars) // greatest(total // {SAMPLE_STRIDES}, 1)
+                AS BIGINT) AS bucket
     FROM cum
-    WHERE (cum - n_chars) // (total // {SAMPLE_STRIDES})
-          < cum // (total // {SAMPLE_STRIDES})
+    WHERE (cum - n_chars) // greatest(total // {SAMPLE_STRIDES}, 1)
+          < cum // greatest(total // {SAMPLE_STRIDES}, 1)
     """,
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,14 +1511,17 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.crossJoin(F.broadcast(tot))
         .withColumn("_before", F.col("cum") - F.col("n_chars"))
+        # stride floor of 1: a degenerate corpus with total < strides would
+        # otherwise divide by zero — NULL under Spark's ANSI-off, an ERROR
+        # in DuckDB — the one way this query could silently diverge
         .filter(
-            F.expr(f"_before div (total div {SAMPLE_STRIDES})")
-            < F.expr(f"cum div (total div {SAMPLE_STRIDES})")
+            F.expr(f"_before div greatest(total div {SAMPLE_STRIDES}, 1)")
+            < F.expr(f"cum div greatest(total div {SAMPLE_STRIDES}, 1)")
         )
         .select(
             "doc_id",
             "n_chars",
-            F.expr(f"_before div (total div {SAMPLE_STRIDES})")
+            F.expr(f"_before div greatest(total div {SAMPLE_STRIDES}, 1)")
             .cast("bigint")
             .alias("bucket"),
         )

@@ -74,7 +74,7 @@ def test_sample_weighted_matches_python_model(spark, sf_dir):
         for r in load_table(spark, sf_dir, "documents").collect()
     )
     total = sum(w for _, w in docs)
-    stride = total // SAMPLE_STRIDES
+    stride = max(total // SAMPLE_STRIDES, 1)
     expected, cum = {}, 0
     for d, w in docs:
         before = cum
@@ -200,3 +200,35 @@ def test_abc_matches_python_model(spark, sf_dir):
     got = {r["abc_class"]: [r["n_parts"], r["revenue_cents"]] for r in rows}
     assert got == dict(agg)
     assert sum(v[1] for v in got.values()) == total
+
+
+def test_sample_weighted_degenerate_corpus_agrees_with_oracle(
+    spark, sf_dir, tmp_path
+):
+    """total < SAMPLE_STRIDES makes the naive stride zero — Spark's
+    ANSI-off division would return NULL while DuckDB errors. The
+    greatest(stride, 1) floor keeps both engines defined AND identical:
+    with stride 1 every document crosses a boundary, so the sample is the
+    whole (tiny) corpus."""
+    import shutil
+
+    import pandas as pd
+
+    from finegourmet_spark.operators.registry import ORACLES
+    from finegourmet_spark.sources.testdata import TABLES
+    from tests.oracle_harness import compare
+
+    for name in TABLES:
+        shutil.copy(f"{sf_dir}/{name}.parquet", tmp_path / f"{name}.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b", "c", "d e f"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3, 1, 5],  # total 9 < 100 strides
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    df = QUERIES["q_sample_weighted"](spark, str(tmp_path))
+    assert compare(df, ORACLES["q_sample_weighted"], str(tmp_path)) == []
+    assert df.count() == 3  # stride 1 ⇒ every doc crosses a boundary
