@@ -114,6 +114,10 @@ _PRIORITY = [
     # kNN confusion matrix, time-constrained funnel, order-gap histogram,
     # chunk-level boilerplate dedup
     "q_knn_confusion", "q_funnel_windowed", "q_order_gaps", "q_dedup_chunks",
+    # round-3 ninth-wave ops (all oracle-backed, r4-rotation candidates):
+    # hash-assigned A/B readout with chi2, DAU/MAU stickiness, integer
+    # OLS trend, out-of-order watermark audit
+    "q_ab_experiment", "q_stickiness", "q_ols_trend", "q_out_of_order_events",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -960,3 +960,214 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gap_days")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+AB_SALT = "exp1"  # experiment id mixed into the assignment hash
+
+
+@query(
+    "q_ab_experiment",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ascii(substring(md5('{AB_SALT}' ||
+                    CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT v.variant, c.converted
+      FROM (VALUES ('A'), ('B')) v(variant),
+           (VALUES (0), (1)) c(converted)
+    ), cells AS (
+      SELECT g.variant, g.converted,
+             CAST(count(a.user_id) AS HUGEINT) AS o
+      FROM grid g
+      LEFT JOIN assign a ON a.variant = g.variant
+                        AND a.converted = g.converted AND a.exposed = 1
+      GROUP BY 1, 2
+    ), rows_ AS (SELECT variant, SUM(o) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT converted, SUM(o) AS cl FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    chi AS (
+      SELECT ce.variant,
+             SUM(CASE WHEN r.r * cl.cl = 0 THEN 0
+                 ELSE (1000000 * (t.n * ce.o - r.r * cl.cl)
+                               * (t.n * ce.o - r.r * cl.cl))
+                      // (t.n * r.r * cl.cl) END) AS chi2_ppm
+      FROM cells ce
+      JOIN rows_ r USING (variant) JOIN cols_ cl USING (converted)
+      CROSS JOIN tot t GROUP BY 1
+    )
+    SELECT a.variant,
+           CAST(count(*) AS BIGINT) AS n_exposed,
+           CAST(SUM(a.converted) AS BIGINT) AS n_converted,
+           CAST((1000000 * SUM(a.converted)) // count(*) AS BIGINT)
+             AS conv_ppm,
+           CAST(min(c.chi2_ppm) AS BIGINT) AS chi2_ppm
+    FROM assign a JOIN chi c USING (variant)
+    WHERE a.exposed = 1
+    GROUP BY 1
+    """,
+)
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    variants (md5 of salt+user_id — the cross-engine-stable assignment
+    q_split_train_eval's key arithmetic established; the salt is the
+    experiment id, so concurrent experiments get independent splits),
+    exposure = any view, conversion = any purchase; per-variant conversion
+    in floor-ppm plus each variant's share of the 2×2 chi-square
+    independence statistic (q_crosstab_chi2's cleared-denominator integer
+    form — the significance screen before anyone trusts the lift).
+
+    Scale shape: ONE user-keyed conditional-max aggregate (map-side
+    combined — assignment is a projection of the group key, not a join);
+    everything after runs on the 2×2 cell frame — metadata-scale."""
+    assign = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))),
+                        1,
+                        1,
+                    )
+                )
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "exposed"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .filter(F.col("exposed") == 1)
+    )
+    # complete the 2×2 grid before the chi² pass: an unobserved cell (no
+    # converts in a variant) still contributes (R·C/N in expectation), and
+    # a ZERO marginal would divide by zero — guarded to 0 (the standard
+    # drop-empty-expectation convention), identically in both engines
+    grid = spark.createDataFrame(
+        [(v, c) for v in ("A", "B") for c in (0, 1)], "variant string, converted int"
+    )
+    cells = (
+        grid.join(assign, ["variant", "converted"], "left")
+        .groupBy("variant", "converted")
+        .agg(F.count("user_id").cast("decimal(38,0)").alias("o"))
+    )
+    rows_ = cells.groupBy("variant").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("converted").agg(F.sum("o").alias("cl"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    chi = (
+        cells.join(rows_, "variant")
+        .join(cols_, "converted")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("variant")
+        .agg(
+            F.sum(
+                F.expr(
+                    "case when r * cl = 0 then 0 else"
+                    " (1000000 * (n * o - r * cl) * (n * o - r * cl))"
+                    " div (n * r * cl) end"
+                )
+            ).alias("chi2_ppm")
+        )
+    )
+    return (
+        assign.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_exposed"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("(1000000 * sum(converted)) div count(*)")
+            .cast("bigint")
+            .alias("conv_ppm"),
+        )
+        .join(chi, "variant")
+        .select(
+            "variant",
+            "n_exposed",
+            "n_converted",
+            "conv_ppm",
+            F.col("chi2_ppm").cast("bigint").alias("chi2_ppm"),
+        )
+    )
+
+
+MAU_DAYS = 28  # trailing window for the stickiness denominator
+
+
+@query(
+    "q_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ), contrib AS (
+      SELECT DISTINCT u.user_id, u.d + CAST(x.i AS INTEGER) AS rd
+      FROM ud u,
+           (SELECT unnest(generate_series(0, {MAU_DAYS - 1})) AS i) x
+    ), mau AS (
+      SELECT c.rd, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+      FROM contrib c JOIN days dy ON c.rd = dy.d GROUP BY 1
+    )
+    SELECT dau.d AS report_day, dau.dau, mau.mau,
+           CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON mau.rd = dau.d
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness curve: per observed day, daily actives over
+    trailing-{MAU_DAYS}-day actives in floor-ppm — THE canonical
+    engagement ratio (a 200k-DAU product with 1M MAU is 'sticky 20%').
+
+    Both counts are EXACT: DAU is the day-grain distinct collapse; MAU
+    reuses the q_rolling_active_users contribution explode (each
+    user-day fans to the ≤{MAU_DAYS} report days it influences — bounded
+    explode, never a sliding distinct window), joined on the observed-day
+    spine. The ratio is integer floor-ppm; DAU ≤ MAU by construction so
+    it lands in (0, 1e6]."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", MAU_DAYS - 1))).alias(
+            "rd"
+        ),
+    )
+    mau = (
+        contrib.join(F.broadcast(days), contrib["rd"] == days["d"])
+        .groupBy("rd")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["d"] == mau["rd"])
+        .select(
+            F.col("d").alias("report_day"),
+            "dau",
+            "mau",
+            F.expr("(1000000 * dau) div mau").cast("bigint").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )

@@ -28,6 +28,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finegourmet_spark.operators.registry import query
 from finegourmet_spark.sources.testdata import load_table as t
@@ -524,4 +525,66 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
         )
+    )
+
+
+@query(
+    "q_out_of_order_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             max(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_us
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE us < prev_max_us) AS BIGINT)
+             AS n_late,
+           CAST((1000000 * count(*) FILTER (WHERE us < prev_max_us))
+                // count(*) AS BIGINT) AS late_ppm,
+           CAST(COALESCE(max(prev_max_us - us) FILTER
+                         (WHERE us < prev_max_us), 0) AS BIGINT)
+             AS max_disorder_us
+    FROM seq
+    """,
+)
+def q_out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: treating event_id as the per-user
+    ARRIVAL sequence, count events whose event time precedes the running
+    maximum of everything that arrived before them — the measurement that
+    SIZES A STREAMING WATERMARK (q_stream_watermark_dedup's lateness
+    bound should dominate max_disorder_us, or the pipeline silently drops
+    events).
+
+    One hash(user_id) exchange for the running-max window (strict
+    1-PRECEDING frame so an event never compares against itself), then a
+    map-side-combined global reduction. late_ppm is integer floor-ppm;
+    max_disorder is the watermark sizing number in exact microseconds."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .withColumn("prev_max_us", F.max("us").over(w))
+    )
+    late = F.col("us") < F.col("prev_max_us")
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.expr(
+            "(1000000 * count(case when us < prev_max_us then 1 end))"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("late_ppm"),
+        F.coalesce(
+            F.max(F.when(late, F.col("prev_max_us") - F.col("us"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_disorder_us"),
     )

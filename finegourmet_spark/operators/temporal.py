@@ -960,3 +960,91 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_days))
         .select("n_days", "n_pairs", "slope_e6_per_day")
     )
+
+
+@query(
+    "q_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE)
+                  - DATE '1970-01-01' AS BIGINT) AS xd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ), zeroed AS (
+      SELECT CAST(xd - min(xd) OVER () AS HUGEINT) AS x,
+             CAST(y AS HUGEINT) AS y
+      FROM daily
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM zeroed
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0
+                THEN (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                ELSE -((1000000 * (sx * sy - n * sxy))
+                       // (n * sxx - sx * sx)) END AS BIGINT)
+             AS slope_e6_cents_per_day
+    FROM s
+    """,
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares revenue trend — the classical counterpart to
+    q_theil_sen's robust slope (report both; a large gap between them IS
+    the outlier diagnostic): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with
+    every moment an exact integer.
+
+    x is re-based to days-from-series-start (epoch-day x would push nΣxy
+    past 1e20); even re-based, products reach ~1e18-1e19 at sf1, so the
+    moments ride decimal(38,0)/HUGEINT (the q_crosstab_chi2 rule). The
+    numerator goes negative on a declining series → sign-split floor
+    division (the q_autocorr_lag rule). Scale shape: one
+    map-side-combined day collapse; the re-base window and the moment
+    aggregate run on the calendar-bounded daily frame."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+                F.lit("1970-01-01"),
+            )
+            .cast("bigint")
+            .alias("xd")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    zeroed = daily.select(
+        (F.col("xd") - F.min("xd").over(everything))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    s = zeroed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") >= 0,
+            F.expr(
+                "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            ),
+        )
+        .otherwise(
+            -F.expr("(1000000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)")
+        )
+        .cast("bigint")
+        .alias("slope_e6_cents_per_day"),
+    )
