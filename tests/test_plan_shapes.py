@@ -491,3 +491,46 @@ def test_bm25_prunes_tokens_before_tf(spark, sf_dir):
     assert re.search(r"Filter .*term#\d+ IN", below) or re.search(
         r"term#\d+ INSET", below
     ), tree
+
+
+def test_funnel_windowed_shares_funnel_plan_shape(spark, sf_dir):
+    """q_funnel_windowed: the deadline is a projection-level comparison, so
+    the plan must be IDENTICAL in shape to q_funnel's — one hash(user_id)
+    exchange, three chained windows on one sort, one metadata-scale
+    SinglePartition."""
+    tree = _extended_tree(QUERIES["q_funnel_windowed"](spark, sf_dir))
+    assert tree.count("Exchange hashpartitioning(user_id") == 1, tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+    assert tree.count("Window [") == 3, tree
+    assert tree.count("Sort [") == 1, tree
+
+
+def test_stickiness_mau_is_bounded_explode(spark, sf_dir):
+    """q_stickiness: the MAU side must be the contribution explode (a
+    Generate operator), never a range join — no nested-loop join operator
+    anywhere."""
+    tree = _extended_tree(QUERIES["q_stickiness"](spark, sf_dir))
+    assert "Generate explode" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_out_of_order_single_user_exchange(spark, sf_dir):
+    """q_out_of_order_events: one user-keyed data-scale exchange (the
+    running-max window) + the final 1-row reduction."""
+    tree = _extended_tree(QUERIES["q_out_of_order_events"](spark, sf_dir))
+    assert tree.count("Exchange hashpartitioning(user_id") == 1, tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+
+
+def test_dedup_chunks_shuffles_digest_not_text(spark, sf_dir):
+    """q_dedup_chunks: the chunk aggregation exchange partitions on the
+    16-byte md5, and the chunk text is projected away before it (the
+    q_dedup_exact discipline applied at sub-document grain)."""
+    import re
+
+    tree = _extended_tree(QUERIES["q_dedup_chunks"](spark, sf_dir))
+    m = re.search(r"Exchange hashpartitioning\(chunk_hash#\d+", tree)
+    assert m, tree
+    below = tree[m.end():]
+    assert re.search(r"HashAggregate\(keys=\[chunk_hash#\d+", below), tree
