@@ -118,6 +118,8 @@ _PRIORITY = [
     # hash-assigned A/B readout with chi2, DAU/MAU stickiness, integer
     # OLS trend, out-of-order watermark audit
     "q_ab_experiment", "q_stickiness", "q_ols_trend", "q_out_of_order_events",
+    # MDM survivorship over fuzzy-name clusters (shared CC machinery)
+    "q_golden_record",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

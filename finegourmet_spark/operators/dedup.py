@@ -280,6 +280,19 @@ def min_label_components(
     (id_col, cluster_id) with cluster_id = the component's min node id.
     Raises after CC_MAX_ROUNDS non-converged rounds — the same bound the
     unrolled SQL oracle carries, keeping both sides exactly equivalent."""
+    import pyspark.sql.types as T
+
+    # The Σlabels convergence witness needs a SUMMABLE label type: string
+    # node ids sum to NULL, NULL == NULL reads as "converged", and
+    # propagation silently freezes after one round (caught by
+    # q_golden_record's first draft — 16 clusters vs the oracle's 8).
+    # Map non-numeric keys to integers first (min surrogate per key).
+    id_field = nodes.schema[id_col].dataType
+    if not isinstance(id_field, T.NumericType):
+        raise TypeError(
+            f"min_label_components: {id_col} must be numeric (got {id_field});"
+            " map string keys to integer ids first"
+        )
     a, b = pair_cols
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).unionAll(
         pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
@@ -982,4 +995,104 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= CHUNK_DUP_MIN_DOCS)
+    )
+
+
+_GOLDEN_PRELUDE = f"""fnames AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+         min(p_partkey) AS name_id,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+), pairs AS (
+  SELECT a.name_id AS da, b.name_id AS db
+  FROM fnames a JOIN fnames b
+    ON a.noun = b.noun AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+)"""
+
+_GOLDEN_CC = unrolled_min_label_sql(
+    _GOLDEN_PRELUDE, "SELECT name_id AS node FROM fnames", "name_id"
+)
+
+
+@query(
+    "q_golden_record",
+    oracle=f"""
+    WITH stats AS (
+      SELECT p_name, min(p_partkey) AS name_id,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1
+    ), ranked AS (
+      SELECT cc.cluster_id, s.p_name, s.n_parts,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY s.n_parts DESC, s.p_name) AS rk
+      FROM ({_GOLDEN_CC}) cc JOIN stats s USING (name_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_aliases,
+           CAST(SUM(n_parts) AS BIGINT) AS n_parts_total,
+           min(CASE WHEN rk = 1 THEN p_name END) AS canonical_name
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD survivorship — the master-data-management verb that
+    finishes entity resolution: fuzzy-match clusters
+    (q_fuzzy_join_levenshtein's blocked edit-distance pairs, made
+    transitive by the shared ``min_label_components`` machinery) collapse
+    to one canonical record each, survivor chosen by an explicit rule
+    (most part rows, ties -> lexicographically first; never an arbitrary
+    dropDuplicates — the reference-bug class this repo exists to fix,
+    etl/transform.py:296).
+
+    Names are mapped to INTEGER node ids (min p_partkey per name) before
+    the CC — the shared machinery's Σlabels convergence witness needs a
+    summable label type (string labels sum to NULL, which froze
+    propagation after one round in the first draft; caught by the
+    oracle's 8-vs-16 cluster count). Scale shape: the pair gate runs on
+    the name VOCABULARY (the fuzzy-join discipline), CC rounds are
+    vocabulary-scale joins, and the survivorship window runs per cluster.
+    Oracle: the same unrolled min-label rounds as q_dedup_clusters over
+    the name-id graph, wrapped with the survivorship window."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name", F.expr("split_part(p_name, ' ', 2)").alias("noun"))
+        .agg(
+            F.min("p_partkey").alias("name_id"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .localCheckpoint()  # pair gate + node list + stats: three consumers
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "noun", F.col("name_id").alias("ida"))
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("name_id").alias("idb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("noun") == F.col("noun_b")) & (F.col("name_a") < F.col("name_b")),
+    ).filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= LEV_MAX)
+    labels = min_label_components(
+        pairs.select("ida", "idb"),
+        names.select("name_id"),
+        "name_id",
+        pair_cols=("ida", "idb"),
+    )
+    from pyspark.sql.window import Window
+
+    j = labels.join(names.select("name_id", "p_name", "n_parts"), "name_id")
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_parts").desc(), "p_name"
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(rk))
+        .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.sum("n_parts").cast("bigint").alias("n_parts_total"),
+            F.min(F.when(F.col("rk") == 1, F.col("p_name"))).alias(
+                "canonical_name"
+            ),
+        )
     )

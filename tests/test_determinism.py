@@ -103,6 +103,7 @@ WAVE5678 = [
     "q_heavy_hitters", "q_rolling_median", "q_theil_sen", "q_session_paths",
     "q_knn_confusion", "q_funnel_windowed", "q_order_gaps", "q_dedup_chunks",
     "q_ab_experiment", "q_stickiness", "q_ols_trend", "q_out_of_order_events",
+    "q_golden_record",
 ]
 
 

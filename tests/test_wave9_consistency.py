@@ -137,3 +137,73 @@ def test_out_of_order_matches_python_model(spark, sf_dir):
         row["late_ppm"],
         row["max_disorder_us"],
     ) == (n_events, n_late, (1_000_000 * n_late) // n_events, max_disorder)
+
+
+def test_golden_record_matches_python_model(spark, sf_dir):
+    """q_golden_record: python union-find over the same fuzzy pair graph +
+    the same survivorship rule; also pins the min_label_components numeric
+    guard (string node ids must raise, not silently under-merge)."""
+    from collections import Counter
+
+    import pytest
+
+    from finegourmet_spark.operators.dedup import (
+        LEV_MAX,
+        min_label_components,
+    )
+    from tests.test_wave5_consistency import _lev
+
+    counts = Counter()
+    first_id = {}
+    for r in load_table(spark, sf_dir, "part").collect():
+        counts[r["p_name"]] += 1
+        k = first_id.get(r["p_name"])
+        first_id[r["p_name"]] = r["p_partkey"] if k is None else min(k, r["p_partkey"])
+    parent = {n: n for n in counts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    names = list(counts)
+    for a in names:
+        for b in names:
+            if (
+                a < b
+                and a.split(" ")[1] == b.split(" ")[1]
+                and _lev(a, b) <= LEV_MAX
+            ):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    clusters = defaultdict(list)
+    for n in names:
+        clusters[find(n)].append(n)
+    expected = {}
+    for members in clusters.values():
+        cid = min(first_id[n] for n in members)
+        canon = sorted(members, key=lambda n: (-counts[n], n))[0]
+        expected[cid] = (
+            len(members),
+            sum(counts[n] for n in members),
+            canon,
+        )
+    rows = QUERIES["q_golden_record"](spark, sf_dir).collect()
+    got = {
+        r["cluster_id"]: (r["n_aliases"], r["n_parts_total"], r["canonical_name"])
+        for r in rows
+    }
+    assert got == expected
+    # the guard: string node ids must raise loudly
+    from pyspark.sql import functions as F
+
+    strs = spark.createDataFrame([("a",), ("b",)], "k string")
+    with pytest.raises(TypeError, match="must be numeric"):
+        min_label_components(
+            strs.select(F.col("k").alias("x"), F.col("k").alias("y")),
+            strs,
+            "k",
+            pair_cols=("x", "y"),
+        )
