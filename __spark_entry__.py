@@ -28,6 +28,7 @@ import finegourmet_spark.operators.eventflow  # noqa: F401
 import finegourmet_spark.operators.graph  # noqa: F401
 import finegourmet_spark.operators.quality  # noqa: F401
 import finegourmet_spark.operators.multimodal  # noqa: F401
+import finegourmet_spark.operators.spatial  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
@@ -120,6 +121,12 @@ _PRIORITY = [
     "q_ab_experiment", "q_stickiness", "q_ols_trend", "q_out_of_order_events",
     # MDM survivorship over fuzzy-name clusters (shared CC machinery)
     "q_golden_record",
+    # round-3 tenth-wave ops (all oracle-backed, r4-rotation candidates):
+    # multi-source frontier BFS, item-item collaborative filtering,
+    # exact bitmap distinct rollup, Gini-Simpson lexical diversity,
+    # grid-bucketed bounded-radius nearest neighbor
+    "q_graph_bfs_hops", "q_item_item_cf", "q_bitmap_distinct_rollup",
+    "q_simpson_diversity", "q_geo_nearest_grid",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -1171,3 +1171,56 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_bitmap_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT monthly distinct users per event type via mergeable Roaring-style
+    bitmaps (Spark 3.5+ ``bitmap_*`` built-ins) — the Snowflake/ClickHouse
+    pattern for exact COUNT(DISTINCT) that still rolls up.
+
+    Why it matters at 100 TB: a plain count-distinct re-shuffles the RAW
+    user ids at every rollup grain, and sketches (q_hll_rollup) trade
+    exactness for mergeability. Bitmaps give BOTH: the day grain reduces
+    each (type, day, bucket) group to one fixed-width bitmap (map-side
+    combined), the month grain merges day bitmaps with bitmap_or_agg —
+    a pure OR, associative and re-aggregatable like any sketch — and
+    bitmap_count reads off the EXACT cardinality. Shuffle volume after the
+    first agg is bitmaps, never ids; a week/quarter/year rollup would reuse
+    the same day-level bitmaps unchanged.
+
+    The bucket column (bitmap_bucket_number) shards the id space so each
+    bitmap spans a bounded range — cardinality per group is then
+    Σ buckets bitmap_count, summed in the final metadata-scale agg.
+
+    Oracle = plain exact COUNT(DISTINCT): the bitmap path must reproduce it
+    bit-for-bit, which is the whole claim."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        "user_id",
+    )
+    day = ev.groupBy(
+        "event_type",
+        "d",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    month = day.groupBy(
+        "event_type",
+        F.trunc("d", "month").alias("month_start"),
+        "bkt",
+    ).agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    return month.groupBy("event_type", "month_start").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("distinct_users")
+    )

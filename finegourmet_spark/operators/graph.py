@@ -436,3 +436,158 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 100  # seeds = graph nodes with pk % BFS_SEED_MOD == 0
+
+
+@query(
+    "q_graph_bfs_hops",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    h0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % {BFS_SEED_MOD} = 0),
+    h1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node),
+    h2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node),
+    h3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node),
+    lvl AS (
+      SELECT node, 0 AS hop FROM h0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3
+    ),
+    dist AS (SELECT node, MIN(hop) AS hop FROM lvl GROUP BY node)
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop
+    """,
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: hop distance
+    (0..BFS_ROUNDS) from the seed set (nodes with pk % BFS_SEED_MOD == 0),
+    reported as a hop → node-count histogram — the reachability/radius
+    diagnostic that pairs with q_graph_degree_dist.
+
+    Spark side runs TEXTBOOK frontier BFS: each round expands only the
+    CURRENT frontier (neighbors ⟕ anti-join visited), so per-round work is
+    |frontier's incident edges|, not |reached set| — the form that survives
+    graphs where the reached set keeps growing. The oracle expands full
+    level sets and takes MIN(hop), which is level-set-equivalent to the
+    frontier recurrence (a node first appears at exactly its BFS level;
+    later reappearances are killed by the MIN). Three rounds are unrolled
+    lazily — at this depth lineage stays shallow enough that no
+    localCheckpoint pinning is needed (contrast: the open-ended min-label
+    loop in dedup.min_label_components).
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint()  # consumed once per round
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    visited = frontier.withColumn("hop", F.lit(0))
+    for hop in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop)))
+        frontier = nxt
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+CF_MIN_CO = 2  # pairs below this co-purchase support are noise
+CF_TOPN = 3  # similar items kept per item
+
+
+@query(
+    "q_item_item_cf",
+    oracle=f"""
+    WITH up AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nu AS (SELECT pk, CAST(count(*) AS HUGEINT) AS n FROM up GROUP BY pk),
+    co AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS HUGEINT) AS c
+      FROM up a JOIN up b ON a.u = b.u AND a.pk <> b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {CF_MIN_CO}
+    ),
+    scored AS (
+      SELECT co.pa, co.pb, co.c,
+             CAST((1000000 * co.c * co.c) // (na.n * nb.n) AS BIGINT)
+               AS cos2_ppm
+      FROM co
+      JOIN nu na ON na.pk = co.pa
+      JOIN nu nb ON nb.pk = co.pb
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY pa
+                                   ORDER BY cos2_ppm DESC, pb) AS rn
+      FROM scored
+    )
+    SELECT pa AS part_a, pb AS part_b, CAST(c AS BIGINT) AS co_users,
+           cos2_ppm, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {CF_TOPN}
+    """,
+)
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-CF_TOPN most-similar parts
+    per part by SQUARED cosine over binary customer-purchase vectors —
+    cos²(a,b) = co²/(nₐ·n_b) in floor-ppm, kept integer end-to-end (the
+    q_crosstab_chi2 decimal(38,0)/HUGEINT recipe) so ranking is
+    engine-identical with no sqrt. Squaring is rank-preserving on [0,1],
+    so top-k by cos² IS top-k by cosine.
+
+    Scale shape: collapse to DISTINCT (customer, part) first (user-grain,
+    map-side combined), self-join on the customer key — fan-out bounded by
+    per-customer basket size², the same bounded-pair argument as
+    q_cooccurrence_lift — then two ITEM-scale count joins onto the pair
+    frame and one per-item top-k window. Item-count frames are
+    vocabulary-scale (≪ pairs) and broadcast when small; co_users ≥
+    CF_MIN_CO prunes the pair tail before the joins."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    up = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        # consumed three times (pair self-join both sides, item counts)
+        .localCheckpoint()
+    )
+    nu = up.groupBy("pk").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    a, b = up.alias("a"), up.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.pk") != F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+        .filter(F.col("c") >= CF_MIN_CO)
+    )
+    na = nu.select(F.col("pk").alias("pa"), F.col("n").alias("na"))
+    nb = nu.select(F.col("pk").alias("pb"), F.col("n").alias("nb"))
+    w = Window.partitionBy("pa").orderBy(F.desc("cos2_ppm"), F.asc("pb"))
+    return (
+        co.join(na, "pa")
+        .join(nb, "pb")
+        .select(
+            "pa",
+            "pb",
+            "c",
+            F.expr("cast((1000000 * c * c) div (na * nb) as bigint)").alias(
+                "cos2_ppm"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CF_TOPN)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("c").cast("bigint").alias("co_users"),
+            "cos2_ppm",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

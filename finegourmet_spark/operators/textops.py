@@ -1600,3 +1600,72 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") * HH_K > F.col("n"))
         .select("term", "n_occurrences")
     )
+
+
+@query(
+    "q_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tc AS (
+      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY 1, 2, 3
+    ), agg AS (
+      SELECT doc_id, lang,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS dt
+      FROM tc GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM((1000000 * (n * n - s2)) // (n * n)) // count(*) AS BIGINT)
+             AS avg_simpson_ppm,
+           CAST(SUM(dt) AS BIGINT) AS total_distinct,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM agg GROUP BY lang
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical diversity via the Gini–Simpson index,
+    1 − Σ cᵢ²/N² per document in floor-ppm, averaged per language — the
+    INTEGER-EXACT twin of Shannon-entropy diversity (entropy needs ln(),
+    whose last-ulp behavior differs between Java's Math.log and DuckDB's
+    libm — the q_lm_bigram_score lesson says never hash post-transcendental
+    floats; Simpson's index is pure integer arithmetic, so it crosses
+    engines bit-for-bit).
+
+    A high-duplication / template-heavy document repeats tokens, pushing
+    Σc² toward N² and the index toward 0; diverse prose stays near 1e6.
+    This is the intra-doc diversity gate that complements
+    q_repetition_ratio (n-gram repetition) in a curation stack.
+
+    Scale shape: explode → per-(doc, token) count (map-side combined) →
+    per-doc moment agg (N, Σc², distinct) on the same doc-keyed hash
+    partitioning → metadata-scale language rollup. The shuffle carries
+    (doc_id, token-hash groups) then 4 longs per doc — never document
+    text. Per-doc ppm values are floored BEFORE the language average
+    (itself a floor division), so the result is deterministic under any
+    partitioning."""
+    toks = F.split("text", " ")
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count(F.lit(1)).alias("dt"),
+    )
+    return agg.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "cast(sum((1000000 * (n * n - s2)) div (n * n)) div count(*)"
+            " as bigint)"
+        ).alias("avg_simpson_ppm"),
+        F.sum("dt").cast("bigint").alias("total_distinct"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
