@@ -534,3 +534,45 @@ def test_dedup_chunks_shuffles_digest_not_text(spark, sf_dir):
     assert m, tree
     below = tree[m.end():]
     assert re.search(r"HashAggregate\(keys=\[chunk_hash#\d+", below), tree
+
+
+def test_geo_nearest_is_bucketed_equi_join(spark, sf_dir):
+    """q_geo_nearest_grid: the candidate join must be an equi-join on the
+    cell ids (broadcast or shuffled HASH join) — never a nested-loop over
+    the raw radius predicate — and the nearest-pick is ONE customer-keyed
+    window exchange."""
+    tree = _extended_tree(QUERIES["q_geo_nearest_grid"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "Generate explode" in tree, tree  # the bounded ×9 cell fan-out
+    assert tree.count("Exchange hashpartitioning(c_custkey") == 1, tree
+
+
+def test_bitmap_rollup_merges_bitmaps_not_ids(spark, sf_dir):
+    """q_bitmap_distinct_rollup: day grain builds bitmaps (map-side
+    combined partial agg), month grain merges with bitmap_or_agg — after
+    the first exchange the shuffle payload is bitmaps, and no plain
+    count-distinct (expand/distinct re-shuffle of raw ids) appears."""
+    tree = _extended_tree(QUERIES["q_bitmap_distinct_rollup"](spark, sf_dir))
+    assert "bitmap_construct_agg" in tree, tree
+    assert "bitmap_or_agg" in tree, tree
+    assert "partial_bitmap_construct_agg" in tree, tree  # map-side combine
+    assert "distinct" not in tree.lower().replace("distinct_users", ""), tree
+
+
+def test_simpson_diversity_no_global_stage(spark, sf_dir):
+    """q_simpson_diversity: both aggregation levels partial-combine and
+    nothing collapses to a single partition (the language rollup is a
+    keyed exchange on lang, metadata-scale)."""
+    tree = _extended_tree(QUERIES["q_simpson_diversity"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "partial_count" in tree or "partial_sum" in tree, tree
+
+
+def test_bfs_frontier_uses_anti_join(spark, sf_dir):
+    """q_graph_bfs_hops: frontier expansion subtracts the visited set with
+    LeftAnti hash joins (per-round work bounded by the frontier, not the
+    reached set)."""
+    tree = _extended_tree(QUERIES["q_graph_bfs_hops"](spark, sf_dir))
+    assert "LeftAnti" in tree, tree
+    assert "CartesianProduct" not in tree, tree
