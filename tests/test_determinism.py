@@ -132,3 +132,26 @@ def test_prefix_sum_ops_repetition_stable(spark, sf_dir):
     for name in ("q_sample_weighted", "q_abc_analysis"):
         results = {_canon(QUERIES[name](spark, sf_dir)) for _ in range(10)}
         assert len(results) == 1, name
+
+
+WAVE10 = [
+    "q_graph_bfs_hops", "q_item_item_cf", "q_bitmap_distinct_rollup",
+    "q_simpson_diversity", "q_geo_nearest_grid",
+]
+
+
+def test_wave10_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every tenth-wave operator must produce the bit-identical canonical
+    result at shuffle widths 1, 7, and 32 — including the iterative BFS
+    (frontier anti-joins re-plan per width) and the bitmap rollup (bucket
+    bitmaps are built per-partition before the merge)."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE10:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
