@@ -127,6 +127,12 @@ _PRIORITY = [
     # grid-bucketed bounded-radius nearest neighbor
     "q_graph_bfs_hops", "q_item_item_cf", "q_bitmap_distinct_rollup",
     "q_simpson_diversity", "q_geo_nearest_grid",
+    # round-3 eleventh-wave ops (all oracle-backed, r4-rotation candidates):
+    # incremental aggregate-view maintenance, two-phase exact weighted
+    # median, reciprocal-rank fusion, seasonal-naive forecast, tokenizer
+    # vocabulary OOV coverage
+    "q_incremental_agg_maintenance", "q_weighted_median", "q_rrf_fusion",
+    "q_seasonal_forecast", "q_vocab_oov_rate",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -1224,3 +1224,102 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return month.groupBy("event_type", "month_start").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("distinct_users")
     )
+
+
+FC_HORIZON = 7  # days forecast past the last observed day
+# Monday anchor for the engine-portable weekday: weekday = (d − 1970-01-05)
+# mod 7 — pure date arithmetic, avoiding the dayofweek/isodow convention
+# mismatch between engines (Spark Sunday=1, DuckDB isodow Monday=1).
+FC_EPOCH_MONDAY = "1970-01-05"
+
+
+@query(
+    "q_seasonal_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), wk AS (
+      SELECT event_type,
+             (d - DATE '{FC_EPOCH_MONDAY}') % 7 AS wd,
+             CAST(SUM(cents) // count(*) AS BIGINT) AS mean_cents
+      FROM daily GROUP BY 1, 2
+    ), last_ AS (
+      SELECT event_type, MAX(d) AS dmax FROM daily GROUP BY 1
+    ), future AS (
+      SELECT l.event_type, l.dmax + CAST(g.i AS INTEGER) AS fd
+      FROM last_ l
+      CROSS JOIN (SELECT unnest(generate_series(1, {FC_HORIZON})) AS i) g
+    )
+    SELECT f.event_type, f.fd AS forecast_day, w.mean_cents AS forecast_cents
+    FROM future f
+    JOIN wk w ON w.event_type = f.event_type
+             AND w.wd = (f.fd - DATE '{FC_EPOCH_MONDAY}') % 7
+    """,
+)
+def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive revenue forecast: the next FC_HORIZON days per event
+    type, each day predicted as the historical mean of its weekday's daily
+    revenue (the same-day-last-weeks forecaster — the standard baseline
+    every fancier model must beat, and the shape of a production forecast
+    feature pipeline: per-key seasonal index + calendar spine).
+
+    Integer-exact: daily revenue collapses to decimal→cents, the weekday
+    mean is one floor division of two longs (nonneg, so Spark div ==
+    DuckDB //), and the weekday key is (d − epoch-Monday) mod 7 — pure
+    date subtraction, immune to the engines' dayofweek convention split.
+    Weekdays never observed for a type yield no forecast row (inner join,
+    documented).
+
+    Scale shape: one day-grain collapse (map-side combined; bounded by
+    types × days), then everything downstream — weekday index, per-type
+    max day, ×FC_HORIZON spine explode, fusion join — is calendar/type
+    scale, broadcastable metadata."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wd = (F.datediff(F.col("d"), F.lit(FC_EPOCH_MONDAY).cast("date")) % 7).alias(
+        "wd"
+    )
+    wk = daily.groupBy("event_type", wd).agg(
+        F.expr("sum(cents) div count(*)").cast("bigint").alias("mean_cents")
+    )
+    future = (
+        daily.groupBy("event_type")
+        .agg(F.max("d").alias("dmax"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.date_add("dmax", 1), F.date_add("dmax", FC_HORIZON))
+            ).alias("fd"),
+        )
+    )
+    fwd = (F.datediff(F.col("fd"), F.lit(FC_EPOCH_MONDAY).cast("date")) % 7).alias(
+        "fwd"
+    )
+    sel = future.select("event_type", "fd", fwd)
+    return (
+        sel.join(
+            F.broadcast(wk),
+            on=[
+                sel["event_type"] == wk["event_type"],
+                sel["fwd"] == wk["wd"],
+            ],
+        )
+        .select(
+            sel["event_type"],
+            F.col("fd").alias("forecast_day"),
+            F.col("mean_cents").alias("forecast_cents"),
+        )
+    )

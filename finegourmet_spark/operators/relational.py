@@ -1756,3 +1756,232 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# Incremental-maintenance split: rows before this date are the "already
+# aggregated" snapshot, the rest arrive as the delta batch.
+IVM_SPLIT = "1999-01-01"
+
+
+@query(
+    "q_incremental_agg_maintenance",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+           l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS rev_cents
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance: a monthly revenue snapshot
+    aggregated from history (ship dates before IVM_SPLIT) is brought up to
+    date by MERGING the delta batch's partial aggregates — never by
+    re-scanning history. The oracle is the full recompute over all rows;
+    the claim is merge(partial(base), partial(delta)) == full, exactly.
+
+    This is the maintenance step behind every materialized rollup at
+    100 TB: count and decimal-sum are distributive, so the snapshot and
+    the delta each reduce map-side to (key, n, cents) partials and the
+    merge is a union + re-sum on the PARTIAL frames — key-cardinality
+    scale, not data scale. The daily refresh cost is O(delta), while the
+    oracle's formulation costs O(history) every run. (avg/stddev would
+    store (n, Σx, Σx²) the same way; MIN/MAX are also mergeable; exact
+    COUNT DISTINCT is the one that needs a bitmap —
+    q_bitmap_distinct_rollup.) Parquet-level MERGE mechanics live in
+    star/load.py::merge_by_key; this is the algebraic core."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("month_start"),
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_shipdate"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month_start", "l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").alias("cents_dec"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < IVM_SPLIT))
+    delta = partial(li.filter(F.col("l_shipdate") >= IVM_SPLIT))
+    return (
+        base.unionByName(delta)
+        .groupBy("month_start", "l_returnflag")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            (F.sum("cents_dec") * 100).cast("bigint").alias("rev_cents"),
+        )
+    )
+
+
+# Weighted-median bucket width (cents): price domain is bounded, so the
+# bucket frame is metadata-scale no matter how many rows feed it.
+WM_BUCKET = 100_000  # $1000
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH vw AS (
+      SELECT l_returnflag AS f,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT f, v,
+             SUM(w) OVER (PARTITION BY f ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+             SUM(w) OVER (PARTITION BY f) AS tot
+      FROM vw
+    )
+    SELECT f AS l_returnflag,
+           CAST(MIN(CASE WHEN 2 * c >= tot THEN v END) AS BIGINT)
+             AS w_median_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM cum GROUP BY 1
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag (lower-median
+    convention: the smallest price v with 2·cumweight(≤v) ≥ totalweight),
+    integer cents end-to-end.
+
+    The naive form is one cumulative-sum window per flag — with 3 flags
+    that is 3 near-global sorted partitions, the SinglePartition shape the
+    engine bans. The scalable exact pattern is TWO-PHASE BUCKETING (the
+    classic distributed exact-quantile): (1) collapse to value grain
+    (map-side combined), (2) roll value weights up to $1000 buckets — the
+    bucket frame is PRICE-DOMAIN-scale, metadata no matter the row count —
+    and prefix-sum it to locate the unique bucket that straddles the
+    half-weight point, (3) prefix-sum value-grain weights ONLY inside that
+    one bucket (a ≤ WM_BUCKET-cent slice) with the straddle bucket's prior
+    cumweight carried in. Every comparison is the integer cross-product
+    2·c ≥ tot — no halving division. The oracle states the same semantics
+    as one direct window; equality proves the bucket decomposition is
+    lossless."""
+    vw = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("f"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    wb = vw.groupBy("f", F.expr(f"v div {WM_BUCKET}").alias("b")).agg(
+        F.sum("w").alias("wb")
+    )
+    bwin = Window.partitionBy("f").orderBy("b")
+    cumb = wb.withColumn("cumb", F.sum("wb").over(bwin))
+    tot = wb.groupBy("f").agg(F.sum("wb").alias("tot"))
+    target = (
+        cumb.join(tot, "f")
+        .filter(2 * F.col("cumb") >= F.col("tot"))
+        .groupBy("f")
+        .agg(
+            F.min_by(F.struct("b", "cumb", "wb"), "b").alias("t"),
+            F.first("tot").alias("tot"),
+        )
+        .select(
+            "f",
+            F.col("t.b").alias("b"),
+            (F.col("t.cumb") - F.col("t.wb")).alias("prior"),
+            "tot",
+        )
+    )
+    vwin = Window.partitionBy("f").orderBy("v")
+    inside = (
+        vw.join(F.broadcast(target), ["f"])
+        .filter(F.expr(f"v div {WM_BUCKET}") == F.col("b"))
+        .withColumn("cumv", F.sum("w").over(vwin))
+        .filter(2 * (F.col("prior") + F.col("cumv")) >= F.col("tot"))
+    )
+    return inside.groupBy(F.col("f").alias("l_returnflag")).agg(
+        F.min("v").cast("bigint").alias("w_median_cents"),
+        F.first("tot").cast("bigint").alias("total_weight"),
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000_000  # per-term floor scale (nano-units)
+RRF_TOPN = 10
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS ra,
+             row_number() OVER (ORDER BY n_orders DESC, l_partkey) AS rb
+      FROM rev
+    ), fused AS (
+      SELECT l_partkey, CAST(ra AS BIGINT) AS rank_revenue,
+             CAST(rb AS BIGINT) AS rank_orders,
+             {RRF_SCALE} // ({RRF_K} + ra) + {RRF_SCALE} // ({RRF_K} + rb)
+               AS score
+      FROM ranked
+    )
+    SELECT l_partkey, rank_revenue, rank_orders,
+           CAST(score AS BIGINT) AS rrf_score_nano
+    FROM fused ORDER BY score DESC, l_partkey LIMIT {RRF_TOPN}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two part rankings — by revenue and by
+    order count — the standard hybrid-retrieval combiner (BM25 ⊕ vector
+    ranks in search stacks; here two purchase signals on the same
+    catalog). score = Σ floor(1e9/(K+rank)) with K = RRF_K: each term is
+    floored at nano scale BEFORE the sum, so the fused ordering is
+    integer-exact across engines.
+
+    Both rankings are GLOBAL row_numbers over the part-grain aggregate —
+    at catalog scale that is the single-task window the engine bans, so
+    ranks come from the hierarchical dense_ids assigner (range-partition
+    on (−measure, key) → per-partition counts → driver offsets), the
+    q_abc_analysis machinery; the oracle states the same ranks as two
+    plain windows. Final top-{RRF_TOPN} is orderBy+limit
+    (TakeOrderedAndProject — no global sort materialization)."""
+    from finegourmet_spark.functions.ids import dense_ids
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .withColumn("neg_rev", -F.col("rev_cents"))
+        .withColumn("neg_cnt", -F.col("n_orders"))
+    )
+    ra = dense_ids(rev, ["neg_rev", "l_partkey"], "ra").select("l_partkey", "ra")
+    rb = dense_ids(rev, ["neg_cnt", "l_partkey"], "rb").select("l_partkey", "rb")
+    return (
+        ra.join(rb, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("ra").cast("bigint").alias("rank_revenue"),
+            F.col("rb").cast("bigint").alias("rank_orders"),
+            (
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + ra)")
+                + F.expr(f"{RRF_SCALE} div ({RRF_K} + rb)")
+            )
+            .cast("bigint")
+            .alias("rrf_score_nano"),
+        )
+        .orderBy(F.desc("rrf_score_nano"), F.asc("l_partkey"))
+        .limit(RRF_TOPN)
+    )

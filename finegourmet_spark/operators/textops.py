@@ -1669,3 +1669,79 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dt").cast("bigint").alias("total_distinct"),
         F.sum("n").cast("bigint").alias("total_tokens"),
     )
+
+
+VOCAB_K = 500  # tokenizer vocabulary size for the OOV-coverage audit
+
+
+@query(
+    "q_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tok2 AS (
+      SELECT doc_id, lang, w FROM tok WHERE w <> ''
+    ), tf AS (
+      SELECT w, count(*) AS n FROM tok2 GROUP BY w
+    ), vocab AS (
+      SELECT w FROM tf ORDER BY n DESC, w LIMIT {VOCAB_K}
+    ), perdoc AS (
+      SELECT t.doc_id, t.lang,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov
+      FROM tok2 t LEFT JOIN vocab v ON t.w = v.w
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM((1000000 * n_oov) // n_tok) // count(*) AS BIGINT)
+             AS avg_oov_ppm,
+           CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM perdoc GROUP BY 1
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: fit a top-VOCAB_K frequency vocabulary on
+    the corpus (ties broken by term, so the cut is deterministic), then
+    report each language's out-of-vocabulary token rate — the go/no-go
+    metric before freezing a tokenizer (pairs with q_bpe_merge_candidates,
+    which proposes merges; this measures what the finished vocab misses).
+
+    Per-doc OOV is floored to ppm BEFORE the per-language average (itself
+    a floor division) — the established two-level floor determinism rule
+    (q_simpson_diversity). Scale shape: one explode + term-frequency agg
+    (map-side combined), the vocabulary head via orderBy+limit
+    (TakeOrderedAndProject — no global sort materialization), then the
+    vocab — VOCAB_K rows, broadcast — LEFT-joins the token stream for the
+    membership flag, and two grouped rollups (doc grain, then language
+    grain). The token stream shuffles as (doc_id, hash-grouped tokens);
+    text never travels whole."""
+    toks = F.split("text", " ")
+    tok2 = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = tok2.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        tf.orderBy(F.desc("n"), F.asc("w"))
+        .limit(VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    perdoc = (
+        tok2.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "cast(sum((1000000 * n_oov) div n_tok) div count(*) as bigint)"
+        ).alias("avg_oov_ppm"),
+        F.sum("n_oov").cast("bigint").alias("total_oov"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )

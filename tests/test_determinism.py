@@ -155,3 +155,25 @@ def test_wave10_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE11 = [
+    "q_incremental_agg_maintenance", "q_weighted_median", "q_rrf_fusion",
+    "q_seasonal_forecast", "q_vocab_oov_rate",
+]
+
+
+def test_wave11_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every eleventh-wave operator must produce the bit-identical canonical
+    result at shuffle widths 1, 7, and 32 — including the two dense_ids
+    rankings inside q_rrf_fusion (range boundaries re-sample per width)."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE11:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -576,3 +576,42 @@ def test_bfs_frontier_uses_anti_join(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_graph_bfs_hops"](spark, sf_dir))
     assert "LeftAnti" in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_incremental_agg_pushes_split_filter_to_scan(spark, sf_dir):
+    """q_incremental_agg_maintenance: base and delta each read a
+    filter-pushed scan (the snapshot/delta split reaches parquet), both
+    halves partial-combine, and the merge introduces no single-partition
+    stage."""
+    tree = _extended_tree(QUERIES["q_incremental_agg_maintenance"](spark, sf_dir))
+    assert tree.count("PushedFilters: [IsNotNull(l_shipdate)") == 2, tree
+    assert "partial_sum" in tree or "partial_count" in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_weighted_median_two_phase_no_global_sort(spark, sf_dir):
+    """q_weighted_median: both prefix-sum windows partition by flag on
+    reduced frames (bucket grain, then one bucket's value grain) — never a
+    SinglePartition sort; the straddle-bucket frame broadcasts back."""
+    tree = _extended_tree(QUERIES["q_weighted_median"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in tree, tree
+    assert tree.count("BroadcastHashJoin") >= 1, tree
+
+
+def test_rrf_fusion_takeordered_no_global_window(spark, sf_dir):
+    """q_rrf_fusion: ranks come from the hierarchical dense_ids assigner
+    (no SinglePartition window) and the final top-k is
+    TakeOrderedAndProject."""
+    tree = _extended_tree(QUERIES["q_rrf_fusion"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_vocab_oov_broadcasts_vocab_head(spark, sf_dir):
+    """q_vocab_oov_rate: the vocabulary head is TakeOrderedAndProject and
+    joins the token stream as a broadcast — the corpus side never
+    re-shuffles for the membership check."""
+    tree = _extended_tree(QUERIES["q_vocab_oov_rate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "Exchange SinglePartition" not in tree, tree
