@@ -133,6 +133,11 @@ _PRIORITY = [
     # vocabulary OOV coverage
     "q_incremental_agg_maintenance", "q_weighted_median", "q_rrf_fusion",
     "q_seasonal_forecast", "q_vocab_oov_rate",
+    # round-3 twelfth-wave ops (all oracle-backed, r4-rotation candidates):
+    # Spark-4 surface (arrow Python UDTF via LATERAL, VARIANT typed
+    # extraction, SQL pipe syntax) + CDC snapshot diff + MoM/YoY growth
+    "q_udtf_installments", "q_variant_funcs", "q_pipe_syntax",
+    "q_snapshot_diff_cdc", "q_growth_rates",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

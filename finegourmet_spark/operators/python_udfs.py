@@ -133,3 +133,65 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out[out["text_len"] > 200]
 
     return d.mapInPandas(batches, schema="doc_id long, text_len bigint")
+
+
+# Installment plan fan-out: every order splits into N_INSTALLMENTS rows whose
+# cents sum back to the order total exactly (largest-remainder distribution).
+N_INSTALLMENTS = 3
+
+
+@query(
+    "q_udtf_installments",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT unnest(generate_series(1, {N_INSTALLMENTS})) AS inst_no
+    )
+    SELECT o_orderkey, CAST(g.inst_no AS INT) AS inst_no,
+           CAST(cents // {N_INSTALLMENTS}
+                + CASE WHEN g.inst_no <= cents % {N_INSTALLMENTS}
+                       THEN 1 ELSE 0 END AS BIGINT) AS inst_cents
+    FROM c CROSS JOIN g
+    """,
+)
+def q_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) via LATERAL: each
+    order fans out into N_INSTALLMENTS payment rows, cents distributed by
+    largest remainder so each plan sums back to its order total exactly —
+    the row-generating Python surface that completes the UDF (scalar) /
+    UDAF (grouped) / mapInPandas (partition) family.
+
+    The UDTF is declared ``useArrow=True``: the physical plan carries
+    ArrowEvalPythonUDTF (Arrow-batched like every Python boundary here),
+    NOT the row-pickling BatchEvalPythonUDTF — the same slow-path ban the
+    plan audit enforces for scalar UDFs. The oracle is the declarative
+    twin (generate_series cross join + CASE), proving the imperative
+    generator emits exactly what the relational form would; the ×N
+    fan-out is bounded, per-row independent, and shuffle-free."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="inst_no: int, inst_cents: bigint", useArrow=True)
+    class Installments:
+        def eval(self, cents: int):
+            if cents is None:
+                return
+            base, rem = divmod(cents, N_INSTALLMENTS)
+            for i in range(1, N_INSTALLMENTS + 1):
+                yield i, base + (1 if i <= rem else 0)
+
+    spark.udtf.register("fg_installments", Installments)
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView("orders_udtf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, i.inst_no, i.inst_cents
+        FROM orders_udtf o, LATERAL fg_installments(o.cents) i
+        """
+    )

@@ -588,3 +588,105 @@ def q_out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_disorder_us"),
     )
+
+
+# Deterministic synthetic "second snapshot" of the customer dimension for
+# the CDC diff: keys divisible by CDC_DEL vanish, keys divisible by CDC_UPD
+# get a balance bump, keys divisible by CDC_INS reappear shifted into a new
+# key range. Derived from the same scan, so the diff is self-verifying.
+CDC_DEL = 50
+CDC_UPD = 7
+CDC_INS = 97
+CDC_KEYSHIFT = 10_000_000
+CDC_BUMP_CENTS = 100
+
+
+@query(
+    "q_snapshot_diff_cdc",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nk,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      FROM customer
+    ), v2 AS (
+      SELECT k,
+             nm,
+             nk,
+             bal + CASE WHEN k % {CDC_UPD} = 0 THEN {CDC_BUMP_CENTS}
+                        ELSE 0 END AS bal
+      FROM v1 WHERE k % {CDC_DEL} <> 0
+      UNION ALL
+      SELECT k + {CDC_KEYSHIFT}, nm, nk, bal
+      FROM v1 WHERE k % {CDC_INS} = 0
+    ), diff AS (
+      SELECT COALESCE(v2.k, v1.k) AS c_custkey,
+             CASE WHEN v1.k IS NULL THEN 'insert'
+                  WHEN v2.k IS NULL THEN 'delete'
+                  WHEN v1.nm <> v2.nm OR v1.nk <> v2.nk OR v1.bal <> v2.bal
+                    THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             v1.bal AS old_bal_cents, v2.bal AS new_bal_cents
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT c_custkey, change_type, old_bal_cents, new_bal_cents
+    FROM diff WHERE change_type <> 'unchanged'
+    """,
+)
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing / change-data-capture audit: given two
+    versions of the customer dimension, classify every key as
+    insert / delete / update (unchanged rows drop out) with the old and
+    new balances carried for the updates — the table-diff verb behind
+    CDC validation, sync reconciliation, and SCD feed derivation (the
+    update/delete stream this emits is exactly what star/load.py's
+    merge_by_key and q_scd2 consume).
+
+    Version 2 is synthesized deterministically from the same scan
+    (CDC_DEL deletes, CDC_UPD balance bumps, CDC_INS key-shifted
+    inserts), so both engines diff identical snapshots with no fixture
+    files. Plan shape: ONE co-keyed full-outer sort-merge join on the
+    key (the canonical diff shuffle — both sides hash-partition by key);
+    the row-compare is a projection. Balances compare as exact decimal
+    cents, never doubles."""
+    v1 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nk"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("bal"),
+    )
+    v2 = (
+        v1.filter(F.col("k") % CDC_DEL != 0)
+        .select(
+            "k",
+            "nm",
+            "nk",
+            (
+                F.col("bal")
+                + F.when(F.col("k") % CDC_UPD == 0, CDC_BUMP_CENTS).otherwise(0)
+            ).alias("bal"),
+        )
+        .unionByName(
+            v1.filter(F.col("k") % CDC_INS == 0).select(
+                (F.col("k") + CDC_KEYSHIFT).alias("k"), "nm", "nk", "bal"
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    diff = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.coalesce(F.col("b.k"), F.col("a.k")).alias("c_custkey"),
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .when(
+            (F.col("a.nm") != F.col("b.nm"))
+            | (F.col("a.nk") != F.col("b.nk"))
+            | (F.col("a.bal") != F.col("b.bal")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("a.bal").alias("old_bal_cents"),
+        F.col("b.bal").alias("new_bal_cents"),
+    )
+    return diff.filter(F.col("change_type") != "unchanged")

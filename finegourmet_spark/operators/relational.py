@@ -1985,3 +1985,80 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score_nano"), F.asc("l_partkey"))
         .limit(RRF_TOPN)
     )
+
+
+@query(
+    "q_variant_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS distinct_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+    GROUP BY 1
+    """,
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over semi-structured payloads: parse_json lifts
+    ``events.props`` into the binary VARIANT encoding once, variant_get
+    extracts a TYPED long (no per-access string re-parse — the point of
+    VARIANT vs get_json_object at 100 TB: parse once, then typed
+    sub-linear field reads), and the filter/aggregate run on the extracted
+    column. The oracle reads the same field through DuckDB's JSON path —
+    typed equality across two completely different semi-structured
+    encodings.
+
+    Plan shape: pure projection + one map-side-combined hash agg; the
+    VARIANT column itself never shuffles (only the extracted long does)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        ev.filter(F.col("k") % 2 == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("distinct_k"),
+        )
+    )
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS rev_cents
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY 1, 2
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators, the
+    FROM-first/ZetaSQL composable form): the same filtered revenue rollup
+    the classic oracle states, written as a left-to-right pipeline —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY. One registered query proves
+    the engine's SQL surface accepts the pipe dialect and that Catalyst
+    plans it identically to the classic form (same pushdown, same
+    partial/final agg — the syntax desugars before optimization, so the
+    100 TB posture is unchanged)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_quantity > 10
+        |> AGGREGATE count(*) AS n_lines,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                          AS BIGINT) AS rev_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus,
+                  CAST(n_lines AS BIGINT) AS n_lines, rev_cents
+        """
+    )

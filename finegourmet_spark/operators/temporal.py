@@ -1048,3 +1048,92 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_e6_cents_per_day"),
     )
+
+
+@query(
+    "q_growth_rates",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT month_start, rev_cents,
+             lag(rev_cents) OVER (ORDER BY month_start) AS prev_cents,
+             lag(rev_cents, 12) OVER (ORDER BY month_start) AS yoy_cents
+      FROM m
+    )
+    SELECT month_start, rev_cents, prev_cents,
+           CASE WHEN prev_cents IS NULL THEN NULL
+                WHEN rev_cents >= prev_cents
+                  THEN (1000000 * (rev_cents - prev_cents)) // prev_cents
+                ELSE -((1000000 * (prev_cents - rev_cents)) // prev_cents)
+           END AS mom_growth_ppm,
+           CASE WHEN yoy_cents IS NULL THEN NULL
+                WHEN rev_cents >= yoy_cents
+                  THEN (1000000 * (rev_cents - yoy_cents)) // yoy_cents
+                ELSE -((1000000 * (yoy_cents - rev_cents)) // yoy_cents)
+           END AS yoy_growth_ppm
+    FROM lagged
+    """,
+)
+def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth in floor-ppm —
+    the trend-report verb behind dashboard axis 4 (monthly revenue,
+    SURVEY §2C) extended with the deltas an analyst actually reads.
+
+    Sign-split floor division (the q_autocorr_lag rule): growth can be
+    negative, and Spark's ``div`` truncates toward zero while DuckDB's
+    ``//`` floors — they disagree exactly on negative quotients, so the
+    magnitude is floored on the nonnegative side and the sign re-applied,
+    making both engines compute the identical integer. NULL for months
+    with no comparison point (first month / first year), kept NULL in
+    both engines.
+
+    Scale shape: one map-side-combined month collapse (calendar-scale
+    output), then the lag windows run on the ≤ |months| frame — the
+    global ORDER BY window is metadata-scale by construction, the
+    documented exception to the no-SinglePartition rule (same as the
+    other calendar-spine ops)."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_start"
+            )
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("month_start")
+    lagged = m.select(
+        "month_start",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+        F.lag("rev_cents", 12).over(w).alias("yoy_cents"),
+    )
+
+    def signed_ppm(cur: str, base: str) -> F.Column:
+        pos = F.expr(f"(1000000 * ({cur} - {base})) div {base}")
+        neg = -F.expr(f"(1000000 * ({base} - {cur})) div {base}")
+        return (
+            F.when(F.col(base).isNull(), F.lit(None).cast("bigint"))
+            .when(F.col(cur) >= F.col(base), pos)
+            .otherwise(neg)
+        )
+
+    return lagged.select(
+        "month_start",
+        "rev_cents",
+        "prev_cents",
+        signed_ppm("rev_cents", "prev_cents").cast("bigint").alias(
+            "mom_growth_ppm"
+        ),
+        signed_ppm("rev_cents", "yoy_cents").cast("bigint").alias(
+            "yoy_growth_ppm"
+        ),
+    )

@@ -177,3 +177,24 @@ def test_wave11_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE12 = [
+    "q_udtf_installments", "q_variant_funcs", "q_pipe_syntax",
+    "q_snapshot_diff_cdc", "q_growth_rates",
+]
+
+
+def test_wave12_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every twelfth-wave operator must produce the bit-identical canonical
+    result at shuffle widths 1, 7, and 32."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE12:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -615,3 +615,41 @@ def test_vocab_oov_broadcasts_vocab_head(spark, sf_dir):
     assert "TakeOrderedAndProject" in tree, tree
     assert tree.count("BroadcastHashJoin") == 1, tree
     assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_udtf_is_arrow_not_pickled(spark, sf_dir):
+    """q_udtf_installments: the Python table function must run through the
+    Arrow serializer (ArrowEvalPythonUDTF), never row-pickling
+    BatchEvalPythonUDTF — the UDTF extension of the scalar-UDF slow-path
+    ban."""
+    tree = _extended_tree(QUERIES["q_udtf_installments"](spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in tree, tree
+    assert "BatchEvalPythonUDTF" not in tree, tree
+
+
+def test_variant_parse_stays_in_projection(spark, sf_dir):
+    """q_variant_funcs: variant parse+extract is a pure projection feeding a
+    map-side-combined agg — no shuffle of the variant column, no
+    SinglePartition stage."""
+    tree = _extended_tree(QUERIES["q_variant_funcs"](spark, sf_dir))
+    assert "variant_get" in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_pipe_syntax_plans_like_classic_sql(spark, sf_dir):
+    """q_pipe_syntax: the pipe dialect must desugar to the same physical
+    shape as classic SQL — filter pushed to the scan, partial/final hash
+    agg."""
+    tree = _extended_tree(QUERIES["q_pipe_syntax"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10" in tree, tree
+    assert "partial_count" in tree or "partial_sum" in tree, tree
+
+
+def test_snapshot_diff_single_cokeyed_join(spark, sf_dir):
+    """q_snapshot_diff_cdc: exactly one full-outer join on the key; both
+    snapshot sides hash-partition by the same key (the canonical diff
+    shuffle), no nested-loop anywhere."""
+    tree = _extended_tree(QUERIES["q_snapshot_diff_cdc"](spark, sf_dir))
+    assert "FullOuter" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
