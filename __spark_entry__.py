@@ -138,6 +138,11 @@ _PRIORITY = [
     # extraction, SQL pipe syntax) + CDC snapshot diff + MoM/YoY growth
     "q_udtf_installments", "q_variant_funcs", "q_pipe_syntax",
     "q_snapshot_diff_cdc", "q_growth_rates",
+    # round-3 thirteenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): leakage-free point-in-time features, late-arriving-dim
+    # inferred members, catalog SQL scalar function, bitmap audience overlap
+    "q_pit_features", "q_late_arriving_dim", "q_sql_scalar_function",
+    "q_bitmap_audience_overlap",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

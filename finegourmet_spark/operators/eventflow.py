@@ -1323,3 +1323,84 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_cents").alias("forecast_cents"),
         )
     )
+
+
+AOV_A = "view"  # audience A event type
+AOV_B = "purchase"  # audience B event type
+
+
+@query(
+    "q_bitmap_audience_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+             event_type, user_id
+      FROM events WHERE event_type IN ('{AOV_A}', '{AOV_B}')
+    )
+    SELECT month_start,
+           CAST(count(DISTINCT user_id)
+                FILTER (WHERE event_type = '{AOV_A}') AS BIGINT) AS n_a,
+           CAST(count(DISTINCT user_id)
+                FILTER (WHERE event_type = '{AOV_B}') AS BIGINT) AS n_b,
+           CAST(count(DISTINCT user_id)
+                FILTER (WHERE event_type = '{AOV_A}') AS BIGINT)
+           + CAST(count(DISTINCT user_id)
+                  FILTER (WHERE event_type = '{AOV_B}') AS BIGINT)
+           - CAST(count(DISTINCT user_id) AS BIGINT) AS n_both,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_either
+    FROM base GROUP BY 1
+    """,
+)
+def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT monthly audience overlap — viewers ∩ purchasers — via
+    mergeable bitmaps: the set-expression report (|A|, |B|, |A∩B|,
+    |A∪B|) behind every audience/segment dashboard, computed without
+    ever re-shuffling raw user ids.
+
+    Per (month, bucket) one pass builds BOTH audience bitmaps with
+    FILTERed bitmap_construct_agg; |A∪B| is the bitmap_count of their
+    per-bucket OR-merge (F.bitmap_or_agg over the conditional bitmaps
+    after stacking would lose pairing, so the union bitmap is built
+    directly from the unfiltered positions), and the intersection comes
+    by inclusion–exclusion |A∩B| = |A| + |B| − |A∪B| — every term exact,
+    no scalar bitmap-AND needed. The oracle is three filtered exact
+    COUNT(DISTINCT)s. Extends q_bitmap_distinct_rollup from one-set
+    cardinality to set algebra; the same day→month re-aggregation
+    property holds because OR-merge is associative."""
+    base = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(AOV_A, AOV_B)
+    ).select(
+        F.to_date(F.date_trunc("month", F.col("ts"))).alias("month_start"),
+        "event_type",
+        "user_id",
+    )
+    bkt = base.groupBy(
+        "month_start", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr(
+            f"bitmap_construct_agg(bitmap_bit_position(user_id))"
+            f" FILTER (WHERE event_type = '{AOV_A}')"
+        ).alias("bm_a"),
+        F.expr(
+            f"bitmap_construct_agg(bitmap_bit_position(user_id))"
+            f" FILTER (WHERE event_type = '{AOV_B}')"
+        ).alias("bm_b"),
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm_u"
+        ),
+    )
+    return (
+        bkt.groupBy("month_start")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm_a)")).cast("bigint").alias("n_a"),
+            F.sum(F.expr("bitmap_count(bm_b)")).cast("bigint").alias("n_b"),
+            F.sum(F.expr("bitmap_count(bm_u)")).cast("bigint").alias("n_either"),
+        )
+        .select(
+            "month_start",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_either")).alias("n_both"),
+            "n_either",
+        )
+    )

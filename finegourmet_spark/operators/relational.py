@@ -2062,3 +2062,111 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(n_lines AS BIGINT) AS n_lines, rev_cents
         """
     )
+
+
+LATE_DIM_MOD = 13  # part keys divisible by this are "late" (absent from dim)
+
+
+@query(
+    "q_late_arriving_dim",
+    oracle=f"""
+    WITH dim AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey % {LATE_DIM_MOD} <> 0
+    ), inferred AS (
+      SELECT DISTINCT l.l_partkey AS p_partkey
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.p_partkey = l.l_partkey)
+    )
+    SELECT p_partkey, p_name, FALSE AS is_inferred FROM dim
+    UNION ALL
+    SELECT p_partkey, 'UNKNOWN' AS p_name, TRUE AS is_inferred FROM inferred
+    """,
+)
+def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (inferred members): facts may
+    reference dimension keys the dim feed hasn't delivered yet; instead of
+    dropping or failing those fact rows, the load emits PLACEHOLDER dim
+    members for every fact key missing from the dimension, flagged
+    is_inferred so the real attributes overwrite them when the late feed
+    lands (the q_scd2 / merge_by_key update path). The reference silently
+    leaves such facts with NULL FKs (its missing-product audit,
+    reference etl/transform.py:173-178, just prints them); this is the
+    warehouse-correct alternative.
+
+    The late feed is simulated by withholding part keys divisible by
+    {LATE_DIM_MOD}. Plan shape: distinct fact keys (map-side combined,
+    key-grain) → ONE co-keyed LEFT ANTI join against the dim → union with
+    the dim itself. Nothing data-scale shuffles except (partkey) pairs."""
+    dim = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % LATE_DIM_MOD != 0)
+        .select("p_partkey", "p_name")
+    )
+    inferred = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+        .join(dim, "p_partkey", "left_anti")
+        .select(
+            "p_partkey",
+            F.lit("UNKNOWN").alias("p_name"),
+            F.lit(True).alias("is_inferred"),
+        )
+    )
+    return dim.withColumn("is_inferred", F.lit(False)).unionByName(inferred)
+
+
+# SQL-defined scalar function (Spark 4 SQL UDF surface): price banding used
+# by the q_sql_scalar_function rollup. Bands in whole cents so the function
+# body is pure integer CASE logic.
+SQLF_BANDS = ((100_000, "low"), (400_000, "mid"))  # upper cent bounds
+
+
+@query(
+    "q_sql_scalar_function",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CASE WHEN cents < {SQLF_BANDS[0][0]} THEN '{SQLF_BANDS[0][1]}'
+                WHEN cents < {SQLF_BANDS[1][0]} THEN '{SQLF_BANDS[1][1]}'
+                ELSE 'high' END AS price_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM c GROUP BY 1
+    """,
+)
+def q_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION … RETURN
+    expr``): business logic declared ONCE in the catalog as a SQL UDF and
+    reused across queries — the governed alternative to copy-pasted CASE
+    ladders, and (unlike a Python UDF) fully visible to Catalyst: the
+    function body inlines into the plan, so pushdown/codegen treat it as
+    a native expression and the Python slow path never enters.
+
+    The oracle states the inlined body directly; equality proves the
+    catalog indirection changes nothing. The function body is integer
+    CASE logic over exact cents — nothing engine-specific."""
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION fg_price_band(cents BIGINT)
+        RETURNS STRING
+        RETURN CASE WHEN cents < {SQLF_BANDS[0][0]} THEN '{SQLF_BANDS[0][1]}'
+                    WHEN cents < {SQLF_BANDS[1][0]} THEN '{SQLF_BANDS[1][1]}'
+                    ELSE 'high' END
+        """
+    )
+    t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    ).createOrReplaceTempView("orders_sqlf")
+    return spark.sql(
+        """
+        SELECT fg_price_band(cents) AS price_band,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM orders_sqlf GROUP BY 1
+        """
+    )

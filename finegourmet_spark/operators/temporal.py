@@ -1137,3 +1137,69 @@ def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth_ppm"
         ),
     )
+
+
+PIT_WINDOW_DAYS = 90  # trailing feature window (strictly before the order day)
+
+
+@query(
+    "q_pit_features",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             (CAST(date_trunc('day', o_orderdate) AS DATE) - DATE '1970-01-01')
+               AS dday,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(COALESCE(count(*) OVER w, 0) AS BIGINT) AS prior_orders_90d,
+           CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+             AS prior_rev_cents_90d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY dday
+                 RANGE BETWEEN {PIT_WINDOW_DAYS} PRECEDING AND 1 PRECEDING)
+    """,
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training features (the feature-store correctness
+    verb): for every order, the SAME customer's order count and revenue
+    over the trailing PIT_WINDOW_DAYS days STRICTLY BEFORE the order's
+    day — the leakage-free construction ML training tables need (a
+    same-day or later event must never leak into its own feature row;
+    the RANGE frame ends at 1 PRECEDING on the day key, so all of the
+    current day is excluded and same-day orders see identical features —
+    deterministic under ties by construction).
+
+    The frame key is integer days-since-epoch, so the RANGE bound is
+    pure integer arithmetic in both engines (no interval-type frame
+    semantics to reconcile). Plan shape: ONE customer-keyed exchange
+    carries both window aggregates; revenue is exact decimal cents.
+    At 100 TB this is the shape that replaces the notorious per-feature
+    point-in-time self-join: N features over the same entity key ride
+    one sort, one shuffle."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("dday"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dday")
+        .rangeBetween(-PIT_WINDOW_DAYS, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prior_orders_90d"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prior_rev_cents_90d"),
+    )

@@ -198,3 +198,24 @@ def test_wave12_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE13 = [
+    "q_pit_features", "q_late_arriving_dim", "q_sql_scalar_function",
+    "q_bitmap_audience_overlap",
+]
+
+
+def test_wave13_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every thirteenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE13:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

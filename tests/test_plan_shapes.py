@@ -653,3 +653,38 @@ def test_snapshot_diff_single_cokeyed_join(spark, sf_dir):
     assert "FullOuter" in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_pit_features_one_customer_exchange(spark, sf_dir):
+    """q_pit_features: both trailing-window feature columns ride ONE
+    customer-keyed exchange and one sort — the shape that replaces
+    per-feature point-in-time self-joins."""
+    tree = _extended_tree(QUERIES["q_pit_features"](spark, sf_dir))
+    assert tree.count("Exchange hashpartitioning(o_custkey") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_late_arriving_dim_anti_join_on_key_grain(spark, sf_dir):
+    """q_late_arriving_dim: inferred members come from a key-grain distinct
+    then a LeftAnti join — the fact table's non-key columns never shuffle."""
+    tree = _extended_tree(QUERIES["q_late_arriving_dim"](spark, sf_dir))
+    assert "LeftAnti" in tree, tree
+    read = [l for l in tree.splitlines() if "ReadSchema" in l and "lineitem" in l]
+    assert read and "l_partkey" in read[0] and "l_extendedprice" not in read[0], tree
+
+
+def test_sql_function_inlines_into_plan(spark, sf_dir):
+    """q_sql_scalar_function: the catalog SQL UDF must inline — the plan
+    contains CASE logic and NO Python eval operator of any kind."""
+    tree = _extended_tree(QUERIES["q_sql_scalar_function"](spark, sf_dir))
+    assert "EvalPython" not in tree, tree
+    assert "partial_count" in tree or "partial_sum" in tree, tree
+
+
+def test_bitmap_overlap_builds_three_bitmaps_one_pass(spark, sf_dir):
+    """q_bitmap_audience_overlap: all three bitmaps (A, B, union) build in
+    the same aggregate — one pass, one exchange chain, no count-distinct
+    expand."""
+    tree = _extended_tree(QUERIES["q_bitmap_audience_overlap"](spark, sf_dir))
+    assert tree.count("bitmap_construct_agg") >= 3, tree
+    assert "Expand" not in tree, tree
