@@ -143,6 +143,10 @@ _PRIORITY = [
     # inferred members, catalog SQL scalar function, bitmap audience overlap
     "q_pit_features", "q_late_arriving_dim", "q_sql_scalar_function",
     "q_bitmap_audience_overlap",
+    # round-3 fourteenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): share-of-parent hierarchy report, top-N+Other rollup,
+    # linear multi-touch attribution
+    "q_share_of_parent", "q_topn_others", "q_attribution_linear",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

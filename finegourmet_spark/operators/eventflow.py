@@ -1404,3 +1404,118 @@ def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_either",
         )
     )
+
+
+LINATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback in microseconds
+
+
+@query(
+    "q_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cus,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % {N_CHANNELS}
+               AS channel
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT p.pid, p.cents, c.cid, c.channel,
+             row_number() OVER (PARTITION BY p.pid ORDER BY c.cus, c.cid)
+               AS rnk,
+             count(*) OVER (PARTITION BY p.pid) AS n
+      FROM p JOIN c ON p.user_id = c.user_id
+                   AND c.cus < p.pus
+                   AND c.cus >= p.pus - {LINATTR_WINDOW_US}
+    ), credited AS (
+      SELECT CAST(channel AS VARCHAR) AS channel,
+             cents // n + CASE WHEN rnk <= cents % n THEN 1 ELSE 0 END
+               AS credit
+      FROM pairs
+      UNION ALL
+      SELECT 'direct', cents FROM p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+                          AND c.cus < p.pus
+                          AND c.cus >= p.pus - {LINATTR_WINDOW_US})
+    )
+    SELECT channel, CAST(SUM(credit) AS BIGINT) AS credited_cents,
+           CAST(count(*) AS BIGINT) AS n_credits
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every purchase's cents
+    divide equally across ALL the user's clicks in the trailing 7 days,
+    largest-remainder style (the q_udtf_installments distribution — floor
+    share to everyone, +1 cent to the earliest clicks) so each purchase's
+    credits sum back to its cents EXACTLY; purchases with no qualifying
+    click credit 'direct'. The multi-touch counterpart of last-touch
+    q_attribution — last-touch needs only a window carry, linear
+    genuinely needs the purchase × prior-clicks pair set.
+
+    Scale shape: ONE user-keyed equi-join produces that pair set —
+    fan-out bounded by clicks-per-user-per-week, the same
+    bounded-activity argument as q_funnel_windowed, never a cross
+    product — then per-purchase rank/count windows ride the SAME
+    hash(pid ⊂ user) locality and a channel-grain rollup finishes
+    metadata-scale. Time bounds compare integer microseconds
+    (epoch_us/unix_micros), no interval-type semantics."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros(F.col("ts")).alias("pus"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cu"),
+        F.unix_micros(F.col("ts")).alias("cus"),
+        (
+            F.get_json_object("props", "$.k").cast("bigint") % N_CHANNELS
+        ).alias("channel"),
+    )
+    pairs = p.join(
+        c,
+        (p["pu"] == c["cu"])
+        & (c["cus"] < p["pus"])
+        & (c["cus"] >= p["pus"] - LINATTR_WINDOW_US),
+    )
+    wp = Window.partitionBy("pid")
+    ranked = pairs.select(
+        "pid",
+        "cents",
+        "channel",
+        F.row_number().over(wp.orderBy("cus", "cid")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credited = ranked.select(
+        F.col("channel").cast("string").alias("channel"),
+        (
+            F.expr("cents div n")
+            + F.when(F.col("rnk") <= F.expr("cents % n"), 1).otherwise(0)
+        ).alias("credit"),
+    )
+    direct = (
+        p.join(
+            c,
+            (p["pu"] == c["cu"])
+            & (c["cus"] < p["pus"])
+            & (c["cus"] >= p["pus"] - LINATTR_WINDOW_US),
+            "left_anti",
+        )
+        .select(F.lit("direct").alias("channel"), F.col("cents").alias("credit"))
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.sum("credit").cast("bigint").alias("credited_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        )
+    )

@@ -2170,3 +2170,143 @@ def q_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_sqlf GROUP BY 1
         """
     )
+
+
+@query(
+    "q_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), shares AS (
+      SELECT r_name, n_name, rev_cents,
+             SUM(rev_cents) OVER (PARTITION BY r_name) AS region_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM rev
+    )
+    SELECT r_name, n_name, rev_cents,
+           CAST((1000000 * rev_cents) // region_cents AS BIGINT)
+             AS nation_share_ppm,
+           CAST((1000000 * region_cents) // total_cents AS BIGINT)
+             AS region_share_ppm
+    FROM shares
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchy report: nation revenue as a fraction of
+    its region, region as a fraction of the grand total — the '% of
+    parent' OLAP verb every drill-down dashboard shows next to the raw
+    measure (dashboard queries 5-8 are its leaves, SURVEY §2C). Shares
+    are floor-ppm over exact decimal cents (nonneg ⇒ div == //).
+
+    Scale shape: the data-scale work is ONE map-side-combined aggregate
+    over orders joined to three broadcast dims; everything after runs on
+    the (region × nation) frame — ≤ 25 rows of metadata, where the
+    parent-sum windows are free. The 100 TB cost is the fact scan,
+    exactly as it should be."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cdim = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(cdim), o["o_custkey"] == cdim["c_custkey"])
+        .join(F.broadcast(n), cdim["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    return rev.select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        F.expr(
+            "cast((1000000 * rev_cents) div sum(rev_cents)"
+            " over (partition by r_name) as bigint)"
+        ).alias("nation_share_ppm"),
+        F.expr(
+            "cast((1000000 * sum(rev_cents) over (partition by r_name))"
+            " div sum(rev_cents) over () as bigint)"
+        ).alias("region_share_ppm"),
+    )
+
+
+TOPN_OTHERS_N = 5
+
+
+@query(
+    "q_topn_others",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    ), top AS (
+      SELECT l_partkey, rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk
+      FROM rev
+      ORDER BY rev_cents DESC, l_partkey LIMIT {TOPN_OTHERS_N}
+    ), tot AS (SELECT SUM(rev_cents) AS total FROM rev)
+    SELECT CAST(rnk AS INT) AS rank, CAST(l_partkey AS VARCHAR) AS label,
+           rev_cents
+    FROM top
+    UNION ALL
+    SELECT {TOPN_OTHERS_N} + 1, 'OTHER',
+           CAST(tot.total - (SELECT SUM(rev_cents) FROM top) AS BIGINT)
+    FROM tot
+    """,
+)
+def q_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Top N + Other' rollup: the {TOPN_OTHERS_N} highest-revenue parts as
+    named rows plus one OTHER row absorbing the entire tail — the
+    chart-legend verb every dashboard pie/bar uses (SURVEY §2C rows 7-8
+    show exactly this shape with the tail implicit; production charts
+    must make it explicit or the shares lie).
+
+    Scale shape: one part-grain aggregate; the head via
+    TakeOrderedAndProject (never a global sort), ranked AFTER the limit on
+    a {TOPN_OTHERS_N}-row frame; OTHER = grand total − head total, two
+    scalar aggregates — so the tail is never ranked, only summed. Exact
+    decimal cents; head ties broken by part key."""
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    top = rev.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).limit(
+        TOPN_OTHERS_N
+    )
+    # rank the 5-row head (metadata-scale window, documented)
+    wr = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+    head = top.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        F.col("l_partkey").cast("string").alias("label"),
+        "rev_cents",
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total"))
+    head_sum = top.agg(F.sum("rev_cents").alias("head_total"))
+    other = (
+        tot.crossJoin(head_sum)
+        .select(
+            F.lit(TOPN_OTHERS_N + 1).cast("int").alias("rank"),
+            F.lit("OTHER").alias("label"),
+            (F.col("total") - F.col("head_total")).cast("bigint").alias(
+                "rev_cents"
+            ),
+        )
+    )
+    return head.unionByName(other)

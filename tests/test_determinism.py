@@ -219,3 +219,23 @@ def test_wave13_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE14 = ["q_share_of_parent", "q_topn_others", "q_attribution_linear"]
+
+
+def test_wave14_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every fourteenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — including the
+    largest-remainder credit split (per-purchase click ranks re-sort per
+    width)."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE14:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

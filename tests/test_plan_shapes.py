@@ -688,3 +688,33 @@ def test_bitmap_overlap_builds_three_bitmaps_one_pass(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_bitmap_audience_overlap"](spark, sf_dir))
     assert tree.count("bitmap_construct_agg") >= 3, tree
     assert "Expand" not in tree, tree
+
+
+def test_share_of_parent_data_scale_is_one_agg(spark, sf_dir):
+    """q_share_of_parent: the data-scale work is one aggregate over the
+    fact joined to broadcast dims; the share windows run on the tiny
+    (region, nation) frame after it."""
+    tree = _extended_tree(QUERIES["q_share_of_parent"](spark, sf_dir))
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "partial_sum" in tree, tree
+
+
+def test_topn_others_never_sorts_the_tail(spark, sf_dir):
+    """q_topn_others: the head comes from TakeOrderedAndProject; the tail
+    is only ever summed (scalar agg), never ranked or globally sorted."""
+    tree = _extended_tree(QUERIES["q_topn_others"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Sort [rev_cents" not in tree.replace(
+        "TakeOrderedAndProject", ""
+    ), tree
+
+
+def test_attribution_linear_user_keyed_pair_join(spark, sf_dir):
+    """q_attribution_linear: the purchase × prior-clicks pair set comes
+    from a user-keyed equi-join (hash or broadcast on the user key) with
+    the time bounds as residual filters — not a pure-inequality
+    nested-loop over unrelated users."""
+    tree = _extended_tree(QUERIES["q_attribution_linear"](spark, sf_dir))
+    assert "CartesianProduct" not in tree, tree
+    joins = [l for l in tree.splitlines() if "Join" in l and "pu" in l]
+    assert any("pu" in l and "cu" in l for l in joins), tree
