@@ -219,11 +219,12 @@ def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import numpy as np
 
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    if not probe_rows:  # empty corpus ⇒ no probes ⇒ empty result, not a crash
+        return spark.createDataFrame([], out_schema)
     probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     probe_mat = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
     probe_mat /= np.linalg.norm(probe_mat, axis=1, keepdims=True)
-
-    out_schema = "query_id long, neighbor_id long, cos_sim double"
 
     def score_batches(batches):
         for pdf in batches:
@@ -278,6 +279,10 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = e.select(
         "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
     )
+    if not feats.take(1):  # 1-row probe job: empty corpus ⇒ nothing to train
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cell int, cos_sim double, rank int"
+        )
     model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(
         feats.select("features")
     )
@@ -357,11 +362,17 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     # training sample + probe set: metadata-scale collects (bounded, documented)
     sample_rows = e.select("embedding").limit(2048).collect()
+    probe_rows = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    if len(sample_rows) < PQ_K or not probe_rows:
+        # corpus too small to train PQ_K centroids per subspace (or no
+        # probes at all) ⇒ empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_train(sample)
 
-    probe_rows = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     probe = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
     probe /= np.linalg.norm(probe, axis=1, keepdims=True)
