@@ -279,11 +279,15 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = e.select(
         "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
     )
-    if not feats.take(1):  # 1-row probe job: empty corpus ⇒ nothing to train
+    k_cells = 8
+    # bounded probe job: a corpus with fewer points than cells can't train
+    # the quantizer (KMeans requires ≥ k distinct-enough points) ⇒ empty
+    # result, not a crash. take(k) reads at most k rows.
+    if len(feats.take(k_cells)) < k_cells:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cell int, cos_sim double, rank int"
         )
-    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(
+    model = KMeans(k=k_cells, seed=42, featuresCol="features", predictionCol="cell").fit(
         feats.select("features")
     )
     assigned = model.transform(feats).select(

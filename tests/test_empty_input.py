@@ -29,3 +29,21 @@ def empty_dir(tmp_path_factory, sf_dir) -> str:
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_runs_on_zero_rows(spark, empty_dir, name):
     assert QUERIES[name](spark, empty_dir).count() >= 0
+
+
+@pytest.fixture(scope="session")
+def one_row_dir(tmp_path_factory, sf_dir) -> str:
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet").slice(0, 1)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_runs_on_one_row(spark, one_row_dir, name):
+    """Single-row inputs reach the degenerate-denominator paths empty
+    input can't (variance of one point, trends with one observation,
+    quantizers with fewer points than cells). Caught the KMeans
+    fewer-points-than-clusters crash on first run."""
+    assert QUERIES[name](spark, one_row_dir).count() >= 0
