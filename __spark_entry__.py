@@ -147,6 +147,12 @@ _PRIORITY = [
     # candidates): share-of-parent hierarchy report, top-N+Other rollup,
     # linear multi-touch attribution
     "q_share_of_parent", "q_topn_others", "q_attribution_linear",
+    # round-3 fifteenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): ANSI try_* safety arithmetic, bitwise aggregates,
+    # higher-order lambda functions, mask() redaction, JSON corrupt-record
+    # quarantine
+    "q_try_arithmetic", "q_bitwise_agg", "q_lambda_funcs", "q_mask_pii",
+    "q_json_quarantine",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -690,3 +690,107 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.bal").alias("new_bal_cents"),
     )
     return diff.filter(F.col("change_type") != "unchanged")
+
+
+@query(
+    "q_mask_pii",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment,
+             regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT masked) AS BIGINT) AS distinct_patterns,
+           MIN(masked) AS sample_pattern
+    FROM m GROUP BY 1
+    """,
+)
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking / redaction surface: Spark's built-in ``mask()``
+    (upper→X, lower→x, digit→n, punctuation kept) applied to the customer
+    name — the governance verb behind view-level column redaction, here
+    summarized as per-segment pattern cardinality (how much FORMAT
+    structure survives masking — low distinct_patterns means the masked
+    column is safe AND still join-able on shape). Complements
+    q_text_scrub_pii (regex scrubbing inside free text); mask() is the
+    structured-column twin.
+
+    The oracle rebuilds mask() from three character-class
+    regexp_replaces, pinning the exact masking alphabet. Pure projection
+    + one map-side-combined rollup."""
+    m = t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.expr("mask(c_name)").alias("masked")
+    )
+    return m.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.countDistinct("masked").cast("bigint").alias("distinct_patterns"),
+        F.min("masked").alias("sample_pattern"),
+    )
+
+
+JSONQ_CORRUPT_MOD = 13  # event ids divisible by this get their JSON truncated
+
+
+@query(
+    "q_json_quarantine",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN event_id % {JSONQ_CORRUPT_MOD} = 0
+                  THEN substring(props, 1, length(props) - 1)
+                  ELSE props END AS s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE NOT json_valid(s)) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(s)
+                         THEN CAST(json_extract_string(s, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_k_clean
+    FROM src GROUP BY 1
+    """,
+)
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine for semi-structured ingest: malformed
+    JSON payloads are DETECTED (``try_parse_json`` → NULL, the VARIANT
+    twin of PERMISSIVE-mode's _corrupt_record column) and counted into a
+    quarantine channel while clean rows aggregate normally — the
+    row-level error-isolation verb (the star pipeline's file-level
+    quarantine in star/sources.py is the same policy one level up; the
+    reference silently coerces instead, SURVEY §1.3).
+
+    Corruption is synthesized deterministically (truncate the closing
+    brace for event ids ≡ 0 mod {JSONQ_CORRUPT_MOD}), so both engines
+    judge the identical byte strings — Spark through try_parse_json,
+    DuckDB through json_valid."""
+    src = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % JSONQ_CORRUPT_MOD == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("s"),
+    )
+    parsed = src.select(
+        "event_type",
+        F.expr("try_parse_json(s)").alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(F.when(F.col("v").isNull(), 1)).cast("bigint").alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.coalesce(
+                F.expr("variant_get(v, '$.k', 'bigint')"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_k_clean"),
+    )

@@ -2310,3 +2310,158 @@ def q_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return head.unionByName(other)
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE qty = 10) AS BIGINT) AS n_div_null,
+           CAST(SUM(CAST(FLOOR(cents / NULLIF(qty - 10, 0)) AS BIGINT))
+                AS BIGINT) AS sum_floor_ratio,
+           CAST(count(TRY_CAST(l_returnflag AS INTEGER)) AS BIGINT)
+             AS n_castable
+    FROM li GROUP BY 1
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: ``try_divide`` / ``try_cast`` return NULL
+    where strict ANSI arithmetic would ABORT THE JOB (division by zero,
+    invalid cast). The engine runs ANSI-on (Spark 4 default, and the
+    driver's vanilla session) — at 100 TB one poisoned row must not kill
+    a 10-hour job, and silently-wrong legacy coercion is worse; try_* is
+    the deliberate middle: errors become NULLs that aggregate visibly
+    (n_div_null counts them).
+
+    The oracle expresses the same semantics with NULLIF guards and
+    TRY_CAST. Per-row floor(cents/(qty−10)) is one IEEE division + floor
+    — both engines compute the identical double, so the bigint sum is
+    exact; the qty=10 rows contribute NULL (dropped by SUM) and are
+    counted separately."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("qty") == 10, 1)).cast("bigint").alias(
+            "n_div_null"
+        ),
+        F.sum(
+            F.floor(F.expr("try_divide(cents, qty - 10)")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_floor_ratio"),
+        F.count(F.expr("try_cast(l_returnflag AS INT)"))
+        .cast("bigint")
+        .alias("n_castable"),
+    )
+
+
+@query(
+    "q_bitwise_agg",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(bit_and(qty) AS BIGINT) AS and_qty,
+           CAST(bit_or(qty) AS BIGINT) AS or_qty,
+           CAST(bit_xor(qty) AS BIGINT) AS xor_qty,
+           CAST(SUM(1 << CAST(qty % 8 AS INTEGER)) AS BIGINT) AS sum_flags
+    FROM li GROUP BY 1
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (ANSI BIT_AND/BIT_OR/BIT_XOR + shifts):
+    the flag-mask verbs behind permission rollups, feature-bit unions,
+    and XOR checksums. All three aggregates are associative and
+    commutative, so they partial-combine map-side and are
+    partitioning-invariant by algebra — the cheapest kind of exactness.
+    sum_flags folds a shifted bit per row (the bitmap-building primitive
+    in miniature)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(qty)").cast("bigint").alias("and_qty"),
+        F.expr("bit_or(qty)").cast("bigint").alias("or_qty"),
+        F.expr("bit_xor(qty)").cast("bigint").alias("xor_qty"),
+        F.sum(F.expr("shiftleft(1L, cast(qty % 8 as int))"))
+        .cast("bigint")
+        .alias("sum_flags"),
+    )
+
+
+
+LAMBDA_MIN_LEN = 4  # token-length threshold exercised by the lambda chain
+
+
+@query(
+    "q_lambda_funcs",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ), per AS (
+      SELECT lang,
+             len(list_filter(toks, w -> len(w) >= {LAMBDA_MIN_LEN}))
+               AS n_long,
+             list_aggregate(list_transform(toks, w -> len(w)), 'sum')
+               AS total_chars,
+             CASE WHEN len(list_filter(toks, w -> len(w) >= 10)) > 0
+                  THEN 1 ELSE 0 END AS has_10
+      FROM d
+    )
+    SELECT lang,
+           CAST(SUM(n_long) AS BIGINT) AS long_tokens,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(has_10) AS BIGINT) AS docs_with_10plus
+    FROM per GROUP BY 1
+    """,
+)
+def q_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — lambda filter / transform /
+    aggregate / exists — the collection-processing surface that keeps
+    nested-data logic INSIDE the JVM expression engine (the alternatives
+    are exploding to rows or dropping to Python; HOFs do neither: no
+    Generate, no shuffle, no Arrow boundary for the per-doc math —
+    plan-asserted). All lambda bodies here are integer (token lengths),
+    so cross-engine equality is exact; DuckDB's list_* family states the
+    same semantics.
+
+    Composes per doc: filter empties → length-filter count / transform-
+    to-lengths + sequential integer fold / exists flag — then one
+    map-side-combined language rollup."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("toks"),
+    ).select(
+        "lang",
+        F.size(
+            F.expr(f"filter(toks, w -> length(w) >= {LAMBDA_MIN_LEN})")
+        ).alias("n_long"),
+        F.expr(
+            "aggregate(transform(toks, w -> length(w)), 0L, (a, x) -> a + x)"
+        ).alias("total_chars"),
+        F.expr(
+            "CASE WHEN exists(toks, w -> length(w) >= 10) THEN 1 ELSE 0 END"
+        ).alias("has_10"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_long").cast("bigint").alias("long_tokens"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("has_10").cast("bigint").alias("docs_with_10plus"),
+    )

@@ -239,3 +239,25 @@ def test_wave14_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE15 = [
+    "q_try_arithmetic", "q_bitwise_agg", "q_lambda_funcs", "q_mask_pii",
+    "q_json_quarantine",
+]
+
+
+def test_wave15_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every fifteenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — bit_xor and the
+    shifted-flag sums are algebra-invariant, the rest must prove it."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE15:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -718,3 +718,21 @@ def test_attribution_linear_user_keyed_pair_join(spark, sf_dir):
     assert "CartesianProduct" not in tree, tree
     joins = [l for l in tree.splitlines() if "Join" in l and "pu" in l]
     assert any("pu" in l and "cu" in l for l in joins), tree
+
+
+def test_lambda_funcs_no_explode_no_python(spark, sf_dir):
+    """q_lambda_funcs: the per-doc collection math stays in JVM lambda
+    expressions — no Generate (explode), no Python eval operator, one
+    map-side-combined rollup."""
+    tree = _extended_tree(QUERIES["q_lambda_funcs"](spark, sf_dir))
+    assert "Generate" not in tree, tree
+    assert "EvalPython" not in tree, tree
+    assert "partial_sum" in tree, tree
+
+
+def test_json_quarantine_single_pass(spark, sf_dir):
+    """q_json_quarantine: quarantine counting and clean-row aggregation
+    share one scan and one hash agg — no second pass over the events."""
+    tree = _extended_tree(QUERIES["q_json_quarantine"](spark, sf_dir))
+    assert tree.count("FileScan parquet") == 1, tree
+    assert "Exchange SinglePartition" not in tree, tree
