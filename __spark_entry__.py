@@ -153,6 +153,9 @@ _PRIORITY = [
     # quarantine
     "q_try_arithmetic", "q_bitwise_agg", "q_lambda_funcs", "q_mask_pii",
     "q_json_quarantine",
+    # round-3 sixteenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): XML roundtrip, collation-aware distinct, regex CEP
+    "q_xml_funcs", "q_collation_compare", "q_event_pattern_match",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

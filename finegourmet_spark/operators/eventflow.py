@@ -1519,3 +1519,80 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_credits"),
         )
     )
+
+
+# Event-type → single-char alphabet for the pattern-match sequence
+CEP_INITIALS = {"view": "v", "click": "c", "purchase": "p",
+                "signup": "s", "error": "e"}
+CEP_FUNNEL_RE = "v.*c.*p"  # ordered-funnel as a regex over the sequence
+CEP_RUN_RE = "vc+p"  # tight view→clicks→purchase runs
+
+
+@query(
+    "q_event_pattern_match",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS i
+      FROM events
+    ), seqs AS (
+      SELECT user_id,
+             string_agg(i, '' ORDER BY ts, event_id) AS seq
+      FROM e GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE regexp_matches(seq, '{CEP_FUNNEL_RE}'))
+                AS BIGINT) AS n_funnel_users,
+           CAST(SUM(len(regexp_extract_all(seq, '{CEP_RUN_RE}'))) AS BIGINT)
+             AS total_tight_runs,
+           CAST(MAX(length(seq)) AS BIGINT) AS max_seq_len
+    FROM seqs
+    """,
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing via regex over per-user event sequences —
+    MATCH_RECOGNIZE-lite: each user's events compress to a one-char-per-
+    event string in the total (ts, event_id) order, and patterns become
+    plain regexes (ordered funnel = 'v.*c.*p'; tight runs = 'vc+p'
+    counted per user with regexp_count). The full-sequence regex answers
+    questions the chained-window funnel can't express cheaply
+    (non-greedy runs, counts of repeated motifs) at the cost of
+    materializing the per-user sequence — bounded by events-per-user,
+    the q_session_paths bound, and built with the same
+    sort_array(collect_list(struct)) discipline (deterministic, ONE
+    user-keyed exchange). Final reduction is a 1-row summary.
+
+    Oracle: DuckDB ordered string_agg + regexp_matches /
+    regexp_extract_all over identical sequences."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in CEP_INITIALS.items() for x in kv]
+    )
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        mapping[F.col("event_type")].alias("i"),
+    )
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "i"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(F.expr("transform(evs, x -> x.i)"), "").alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("seq").rlike(CEP_FUNNEL_RE), 1))
+        .cast("bigint")
+        .alias("n_funnel_users"),
+        F.sum(F.expr(f"regexp_count(seq, '{CEP_RUN_RE}')"))
+        .cast("bigint")
+        .alias("total_tight_runs"),
+        F.max(F.length("seq")).cast("bigint").alias("max_seq_len"),
+    )

@@ -2465,3 +2465,96 @@ def q_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_chars").cast("bigint").alias("total_chars"),
         F.sum("has_10").cast("bigint").alias("docs_with_10plus"),
     )
+
+
+@query(
+    "q_xml_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 native XML): each order serializes to an XML
+    fragment, then ``from_xml`` parses it back to a typed struct and
+    ``xpath_int`` reads a field through the XPath route — the legacy-feed
+    ingestion path (B2B/EDI, config exports) exercised end-to-end. The
+    oracle aggregates the ORIGINAL columns directly: equality proves
+    parse(serialize(row)) is lossless through both the schema route and
+    the XPath route, typed values included.
+
+    Pure projection work — the XML never shuffles; the rollup is
+    map-side-combined on the extracted columns."""
+    o = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("<o><k>"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</k><p>"),
+            F.col("o_orderpriority"),
+            F.lit("</p><c>"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            F.lit("</c></o>"),
+        ).alias("xml")
+    )
+    parsed = o.select(
+        F.expr("from_xml(xml, 'k BIGINT, p STRING, c BIGINT')").alias("s"),
+        F.expr("xpath_long(xml, '/o/k')").alias("xk"),
+    )
+    return parsed.groupBy(F.col("s.p").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("s.c").cast("bigint").alias("sum_cents"),
+        F.max("xk").cast("bigint").alias("max_key"),
+    )
+
+
+@query(
+    "q_collation_compare",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey,
+             CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg2
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT seg2) AS BIGINT) AS distinct_binary,
+           CAST(count(DISTINCT lower(seg2)) AS BIGINT) AS distinct_ci
+    FROM m GROUP BY 1
+    """,
+)
+def q_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same distinct-count under binary
+    vs UTF8_LCASE collation — entity counting where casing varies by
+    source (the reference's email-normalization bug class,
+    etl/transform.py:372 vs :393, solved at the TYPE level instead of
+    scattered lower() calls). Mixed casing is synthesized
+    deterministically over the low-cardinality segment column (even keys
+    upper, odd lower), so case variants of the SAME value really collide:
+    distinct_binary counts up to 2× distinct_ci, and the collated count
+    provably matches the oracle's lower()-normalized one.
+
+    Collation comparison happens inside the hash aggregate — no
+    normalization projection materializes the lowercased string for the
+    pipeline; the collated column carries its comparison semantics."""
+    m = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+        )
+        .otherwise(F.lower(F.col("c_mktsegment")))
+        .alias("seg2"),
+    )
+    return m.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("seg2").cast("bigint").alias("distinct_binary"),
+        F.countDistinct(F.expr("collate(seg2, 'UTF8_LCASE')"))
+        .cast("bigint")
+        .alias("distinct_ci"),
+    )

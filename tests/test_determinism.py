@@ -261,3 +261,22 @@ def test_wave15_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE16 = ["q_xml_funcs", "q_collation_compare", "q_event_pattern_match"]
+
+
+def test_wave16_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every sixteenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — the CEP sequences
+    rebuild their sort_array order per width."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE16:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

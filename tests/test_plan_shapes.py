@@ -736,3 +736,19 @@ def test_json_quarantine_single_pass(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_json_quarantine"](spark, sf_dir))
     assert tree.count("FileScan parquet") == 1, tree
     assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_event_pattern_single_user_exchange(spark, sf_dir):
+    """q_event_pattern_match: sequence build + regex metrics ride one
+    user-keyed exchange and one final 1-row reduction."""
+    tree = _extended_tree(QUERIES["q_event_pattern_match"](spark, sf_dir))
+    assert tree.count("Exchange hashpartitioning(user_id") == 1, tree
+    assert tree.count("Exchange SinglePartition") == 1, tree
+
+
+def test_xml_roundtrip_stays_in_projection(spark, sf_dir):
+    """q_xml_funcs: serialize + from_xml + xpath are projections feeding a
+    map-side-combined agg — the XML string never shuffles."""
+    tree = _extended_tree(QUERIES["q_xml_funcs"](spark, sf_dir))
+    assert "from_xml" in tree or "FromXml" in tree.lower() or "xpath" in tree, tree
+    assert "partial_count" in tree or "partial_sum" in tree, tree
