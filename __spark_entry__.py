@@ -156,6 +156,10 @@ _PRIORITY = [
     # round-3 sixteenth-wave ops (all oracle-backed, r4-rotation
     # candidates): XML roundtrip, collation-aware distinct, regex CEP
     "q_xml_funcs", "q_collation_compare", "q_event_pattern_match",
+    # round-3 seventeenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): partition checksums, keyspace density audit,
+    # Wilson-bound rate ranking
+    "q_table_checksum", "q_keyspace_gaps", "q_rank_wilson",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

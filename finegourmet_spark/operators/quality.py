@@ -794,3 +794,207 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_k_clean"),
     )
+
+
+# Table-checksum canonicalization: 15 md5 hex chars → int64 (< 2^60), then
+# an order-insensitive XOR fold per partition-month.
+CHECKSUM_HEX_CHARS = 15
+
+
+@query(
+    "q_table_checksum",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(('0x' || substring(md5(concat_ws('|',
+                    CAST(o_orderkey AS VARCHAR),
+                    CAST(o_custkey AS VARCHAR),
+                    o_orderstatus,
+                    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS VARCHAR),
+                    CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                    o_orderpriority)), 1, {CHECKSUM_HEX_CHARS}))
+                  AS BIGINT) AS digest
+      FROM orders
+    )
+    SELECT month_start,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(digest) AS BIGINT) AS checksum
+    FROM rows_ GROUP BY 1
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum per partition-month — the
+    sync-validation verb (pt-table-checksum / replication audit): two
+    copies of a table match iff every partition's (n_rows, checksum)
+    pair matches, and because XOR is commutative/associative the
+    checksum is independent of row order, partitioning, and merge
+    history — comparable across ANY two engines or clusters that agree
+    on the canonical row string. The natural companion of
+    q_snapshot_diff_cdc: checksums say WHETHER partitions diverged,
+    the diff says HOW.
+
+    Row canonicalization pins every cross-engine trap the repo has
+    catalogued: decimal cents (not float repr), CAST-to-DATE string
+    form, explicit '|' separator. The digest keeps {CHECKSUM_HEX_CHARS}
+    md5 hex chars (< 2^60, portable via the conv / '0x'-cast recipe).
+    Map-side combined; shuffle carries (month, digest-xor partials)."""
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                    .cast("string"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            CHECKSUM_HEX_CHARS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_start"
+            ),
+            digest.alias("digest"),
+        )
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(digest)").cast("bigint").alias("checksum"),
+        )
+    )
+
+
+KEYGAP_BUCKET = 1000  # keyspace bucket width for the density audit
+KEYGAP_TOPN = 20
+
+
+@query(
+    "q_keyspace_gaps",
+    oracle=f"""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+    ), b AS (
+      SELECT key // {KEYGAP_BUCKET} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(MIN(key) AS BIGINT) AS lo,
+             CAST(MAX(key) AS BIGINT) AS hi
+      FROM k GROUP BY 1
+    ), scored AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket, n_present, lo, hi,
+             CAST(hi - lo + 1 - n_present AS BIGINT) AS n_missing
+      FROM b
+    )
+    SELECT bucket, n_present, lo, hi, n_missing
+    FROM scored
+    ORDER BY n_missing DESC, bucket LIMIT {KEYGAP_TOPN}
+    """,
+)
+def q_keyspace_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyspace density audit: the {KEYGAP_TOPN} sparsest
+    {KEYGAP_BUCKET}-wide buckets of the order-key space, each reporting
+    how many keys are missing inside its own observed [lo, hi] span —
+    the ingestion-hole / deletion-storm detector (a bucket whose span
+    far exceeds its count lost rows). Bucketing is what makes the audit
+    scale: the exact global gap LIST needs adjacent-key pairs (a total
+    order — one serial pass), while bucket-local density is one
+    map-side-combined aggregate whose output is keyspace/{KEYGAP_BUCKET}
+    rows, then TakeOrderedAndProject for the worst offenders.
+    Cross-bucket boundary gaps are intentionally out of scope
+    (documented): each bucket audits its own span."""
+    k = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key")).distinct()
+    b = k.groupBy(F.expr(f"key div {KEYGAP_BUCKET}").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.min("key").cast("bigint").alias("lo"),
+        F.max("key").cast("bigint").alias("hi"),
+    )
+    return (
+        b.select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_present",
+            "lo",
+            "hi",
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_present"))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy(F.desc("n_missing"), F.asc("bucket"))
+        .limit(KEYGAP_TOPN)
+    )
+
+
+WILSON_MIN_N = 20  # minimum trials before a rate is rankable
+WILSON_TOPN = 20
+
+
+@query(
+    "q_rank_wilson",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+      HAVING count(*) >= {WILSON_MIN_N}
+    ), w AS (
+      SELECT l_partkey, n, r,
+             ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) + 1.9208 / CAST(n AS DOUBLE)
+              - 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (1.0 - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                             + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS lb
+      FROM s
+    )
+    SELECT l_partkey, n, r, lb
+    FROM w ORDER BY lb DESC, l_partkey LIMIT {WILSON_TOPN}
+    """,
+)
+def q_rank_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking of per-part return rates — the
+    small-sample-safe way to rank success/failure rates (the
+    sort-by-lower-confidence-bound verb behind review rankings and
+    defect dashboards; a 2/2 rate must NOT outrank 95/100).
+
+    Floating point, deliberately and safely: the bound uses ONLY
+    IEEE-correctly-rounded operations (+ − × ÷ sqrt — no ln/exp, the
+    q_lm_bigram_score trap), the z-constants are pre-folded decimal
+    literals (1.96, 1.9208 = z², 0.9604 = z²/2... all exact at parse),
+    and BOTH engines evaluate the identical parenthesized expression
+    tree from identical integer inputs — so the doubles match
+    BIT-FOR-BIT and the full-precision hash comparison passes without
+    any rounding step. One part-grain aggregate, then
+    TakeOrderedAndProject."""
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("bigint")
+            .alias("r"),
+        )
+        .filter(F.col("n") >= WILSON_MIN_N)
+    )
+    lb = F.expr(
+        "((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) + 1.9208 / CAST(n AS DOUBLE)"
+        " - 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+        "                * (1.0 - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))"
+        "                + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))"
+        " / (1.0 + 3.8416 / CAST(n AS DOUBLE))"
+    )
+    return (
+        s.select("l_partkey", "n", "r", lb.alias("lb"))
+        .orderBy(F.desc("lb"), F.asc("l_partkey"))
+        .limit(WILSON_TOPN)
+    )

@@ -280,3 +280,23 @@ def test_wave16_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE17 = ["q_table_checksum", "q_keyspace_gaps", "q_rank_wilson"]
+
+
+def test_wave17_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every seventeenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — the XOR checksum is
+    algebra-invariant, the Wilson doubles must prove their expression
+    tree survives re-planning."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE17:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

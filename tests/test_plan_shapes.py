@@ -752,3 +752,19 @@ def test_xml_roundtrip_stays_in_projection(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_xml_funcs"](spark, sf_dir))
     assert "from_xml" in tree or "FromXml" in tree.lower() or "xpath" in tree, tree
     assert "partial_count" in tree or "partial_sum" in tree, tree
+
+
+def test_table_checksum_map_side_combines(spark, sf_dir):
+    """q_table_checksum: the XOR fold partial-aggregates before the
+    month-keyed exchange — the digest column shuffles as partials, not
+    rows."""
+    tree = _extended_tree(QUERIES["q_table_checksum"](spark, sf_dir))
+    assert "partial_bit_xor" in tree or "partial_count" in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_keyspace_gaps_takeordered(spark, sf_dir):
+    """q_keyspace_gaps: bucket stats aggregate map-side; the worst-bucket
+    head is TakeOrderedAndProject, never a global sort of all buckets."""
+    tree = _extended_tree(QUERIES["q_keyspace_gaps"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree, tree
