@@ -160,6 +160,10 @@ _PRIORITY = [
     # candidates): partition checksums, keyspace density audit,
     # Wilson-bound rate ranking
     "q_table_checksum", "q_keyspace_gaps", "q_rank_wilson",
+    # round-3 eighteenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): sorted-neighborhood dedup blocking, retraction-aware
+    # view maintenance
+    "q_dedup_sorted_neighborhood", "q_incremental_agg_retraction",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -1096,3 +1096,104 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SNM_WINDOW = 3  # sorted-neighborhood candidate window (pairs per doc ≤ W)
+SNM_KEY_CHARS = 16  # leading characters used as the semantic sort key
+
+
+@query(
+    "q_dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substring(lower(trim(text)), 1,
+                                                   {SNM_KEY_CHARS}), doc_id)
+               AS sid
+      FROM documents
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ordered a JOIN ordered b ON b.sid - a.sid BETWEEN 1 AND {SNM_WINDOW}
+    ), sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - i.n_common) >= {NEAR_DUP_THETA}
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernández–Stolfo SNM): sort
+    the corpus by a SEMANTIC key (the first {SNM_KEY_CHARS} chars of the
+    normalized text — near-duplicates share prefixes, so they land
+    adjacent), then only pairs within {SNM_WINDOW} positions of each other
+    are candidates — O(N·W) candidates total, the third blocking scheme in
+    the dedup family (LSH banding = q_dedup_minhash, prefix filtering =
+    q_setsim_join_prefix; SNM wins when near-dups cluster under a cheap
+    sort key and loses when edits hit the key prefix — each gate's
+    capture bias is documented where it's defined).
+
+    The global sort position comes from the hierarchical dense_ids
+    assigner (range partition → offsets — NO SinglePartition window), and
+    the W neighbor joins are co-keyed equi-joins on the position id.
+    Candidates then verify with the module's exact 3-gram Jaccard
+    (shared shingle definition, so the near-dup decision cannot drift
+    from the other gates'). Output mirrors q_dedup_ngram_jaccard:
+    (doc_a, doc_b, jaccard) at θ ≥ {NEAR_DUP_THETA}."""
+    from finegourmet_spark.functions.ids import dense_ids
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, SNM_KEY_CHARS).alias(
+            "sk"
+        ),
+    )
+    ordered = dense_ids(d, ["sk", "doc_id"], "sid").select("doc_id", "sid")
+    # W co-keyed equi-joins on the position id (an inequality band join
+    # here would plan as a nested loop)
+    cands = None
+    for dlt in range(1, SNM_WINDOW + 1):
+        bd = ordered.select(
+            F.col("doc_id").alias("doc_b"), (F.col("sid") - dlt).alias("sa")
+        )
+        part = (
+            ordered.select(F.col("doc_id").alias("doc_a"), F.col("sid").alias("sa"))
+            .join(bd, "sa")
+            .select("doc_a", "doc_b")
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa_, "doc_a")
+        .join(sb_, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= NEAR_DUP_THETA)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )

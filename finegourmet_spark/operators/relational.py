@@ -2558,3 +2558,63 @@ def q_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_ci"),
     )
+
+
+IVM_RETRACT_MOD = 10  # order keys ≡ 3 (mod this) are retracted post-snapshot
+
+
+@query(
+    "q_incremental_agg_retraction",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+           l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS rev_cents
+    FROM lineitem
+    WHERE l_orderkey % {IVM_RETRACT_MOD} <> 3
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware aggregate-view maintenance (the Flink changelog
+    model): the monthly snapshot was built over ALL rows, then the rows
+    with l_orderkey ≡ 3 (mod {IVM_RETRACT_MOD}) were DELETED upstream.
+    Instead of recomputing, the view merges the snapshot with the deleted
+    rows' partials carrying sign −1 — counts and decimal sums are groups
+    (they have inverses), so deletion is addition of negated partials;
+    groups whose count reaches zero drop out of the view entirely (the
+    empty-group retraction every changelog consumer must handle). The
+    oracle recomputes over the surviving rows; equality proves
+    merge(partial(all), −partial(deleted)) == full recompute — together
+    with q_incremental_agg_maintenance (insert-only) this is the complete
+    +/− maintenance algebra. MIN/MAX have no inverse — THOSE need the
+    recompute path or a heap per group, which is why production IVM
+    engines special-case them.
+
+    Scale: the retraction delta costs O(deleted), the snapshot is not
+    re-scanned; both partial frames merge at key-cardinality scale."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("month_start"),
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        "l_orderkey",
+    )
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("month_start", "l_returnflag").agg(
+            (F.count(F.lit(1)) * sign).alias("n_rows"),
+            (F.sum("price") * sign).alias("price_sum"),
+        )
+
+    snapshot = partial(li, 1)  # built before the deletion happened
+    retract = partial(li.filter(F.col("l_orderkey") % IVM_RETRACT_MOD == 3), -1)
+    return (
+        snapshot.unionByName(retract)
+        .groupBy("month_start", "l_returnflag")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            (F.sum("price_sum") * 100).cast("bigint").alias("rev_cents"),
+        )
+        .filter(F.col("n_rows") > 0)  # empty groups retract out of the view
+    )

@@ -300,3 +300,22 @@ def test_wave17_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE18 = ["q_dedup_sorted_neighborhood", "q_incremental_agg_retraction"]
+
+
+def test_wave18_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every eighteenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — the SNM position
+    ids re-derive their range boundaries per width."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE18:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -768,3 +768,24 @@ def test_keyspace_gaps_takeordered(spark, sf_dir):
     head is TakeOrderedAndProject, never a global sort of all buckets."""
     tree = _extended_tree(QUERIES["q_keyspace_gaps"](spark, sf_dir))
     assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_snm_neighbor_joins_are_equi(spark, sf_dir):
+    """q_dedup_sorted_neighborhood: the W neighbor joins are position-id
+    equi-joins (the inequality band form would nested-loop), and no
+    SinglePartition window assigns the positions."""
+    tree = _extended_tree(QUERIES["q_dedup_sorted_neighborhood"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    # dense_ids assigns positions with _pid-partitioned windows, never a
+    # SinglePartition global sort
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "windowspecdefinition(_pid" in tree, tree
+
+
+def test_retraction_scans_push_filters(spark, sf_dir):
+    """q_incremental_agg_retraction: both partial frames partial-combine
+    and the merge never collapses to a single partition."""
+    tree = _extended_tree(QUERIES["q_incremental_agg_retraction"](spark, sf_dir))
+    assert "partial_sum" in tree or "partial_count" in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
