@@ -164,6 +164,9 @@ _PRIORITY = [
     # candidates): sorted-neighborhood dedup blocking, retraction-aware
     # view maintenance
     "q_dedup_sorted_neighborhood", "q_incremental_agg_retraction",
+    # round-3 nineteenth-wave ops (all oracle-backed, r4-rotation
+    # candidates): interval union/coverage, business-day SLA latency
+    "q_interval_coverage", "q_business_days_sla",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -1203,3 +1203,197 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prior_rev_cents_90d"),
     )
+
+
+COVER_HOLD_DAYS = 14  # each order holds capacity for 14 days from order date
+
+
+@query(
+    "q_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT DISTINCT o_orderpriority AS pri,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS s,
+             CAST(date_trunc('day', o_orderdate) AS DATE)
+               + {COVER_HOLD_DAYS} AS e
+      FROM orders
+    ), ordered AS (
+      SELECT pri, s, e,
+             MAX(e) OVER (PARTITION BY pri ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ), flagged AS (
+      SELECT pri, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS is_new_island
+      FROM ordered
+    ), islands AS (
+      SELECT pri, s, e,
+             SUM(is_new_island) OVER (PARTITION BY pri ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT pri, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_days,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_span_days
+    FROM merged GROUP BY 1
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union / coverage per key (hypertable `range_agg`): each
+    order holds capacity for COVER_HOLD_DAYS days; overlapping holds
+    merge into busy spans and the report is spans / total covered days /
+    longest span per priority — the interval-UNION twin of
+    q_concurrency_peak's sweep-line MAX (peak asks "how many at once",
+    coverage asks "how much of the timeline is busy at all").
+
+    Classic gaps-and-islands on intervals: a running MAX(end) over the
+    start-ordered frame flags island starts (start > furthest end seen),
+    a prefix sum numbers the islands, and a grouped MIN/MAX merges each.
+    All three windows + the island rollup ride ONE priority-keyed
+    exchange and one sort; arithmetic is integer days end to end."""
+    iv = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("s"),
+            F.date_add(
+                F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+                COVER_HOLD_DAYS,
+            ).alias("e"),
+        )
+        # DISTINCT makes (s, e) a TOTAL order per key: with duplicate
+        # intervals at an island boundary, the new-island flag attaches to
+        # ONE arbitrary physical peer and peers ordered before it would
+        # join the PREVIOUS island — both engines then disagree (found by
+        # the sf0.001 oracle compare: covered_days drifted 16 days).
+        # Duplicates can't change an interval union, so collapsing them
+        # first is both the determinism fix and a frame reduction.
+        .distinct()
+    )
+    w = Window.partitionBy("pri").orderBy("s", "e")
+    flagged = iv.select(
+        "pri",
+        "s",
+        "e",
+        F.when(
+            F.max("e")
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+            .isNull()
+            | (
+                F.col("s")
+                > F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy("pri", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.datediff("me", "ms")).cast("bigint").alias("covered_days"),
+        F.max(F.datediff("me", "ms")).cast("bigint").alias("longest_span_days"),
+    )
+
+
+# Monday anchor for the engine-portable weekday (same convention as
+# eventflow.FC_EPOCH_MONDAY; duplicated here because eventflow imports
+# from this module — a reverse import would cycle).
+EPOCH_MONDAY = "1970-01-05"
+
+
+@query(
+    "q_business_days_sla",
+    oracle=f"""
+    WITH fs AS (
+      SELECT l_orderkey,
+             MIN(CAST(date_trunc('day', l_shipdate) AS DATE)) AS sd
+      FROM lineitem GROUP BY 1
+    ), lat AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month_start,
+             CASE WHEN fs.sd > CAST(date_trunc('day', o.o_orderdate) AS DATE)
+             THEN len(list_filter(
+                   generate_series(CAST(date_trunc('day', o.o_orderdate)
+                                        AS DATE) + 1,
+                                   fs.sd, INTERVAL 1 DAY),
+                   d -> (CAST(d AS DATE) - DATE '{EPOCH_MONDAY}') % 7 < 5))
+             ELSE 0 END AS busdays
+      FROM orders o
+      JOIN fs ON fs.l_orderkey = o.o_orderkey
+    )
+    SELECT month_start,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(busdays) // count(*) AS BIGINT) AS avg_busdays,
+           CAST(MAX(busdays) AS BIGINT) AS max_busdays
+    FROM lat GROUP BY 1
+    """,
+)
+def q_business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day SLA latency: order date → first line's ship date
+    measured in WEEKDAYS (the unit ops teams actually promise), per
+    order month. The business-day count is a bounded date-range explode
+    filtered by the portable weekday — (d − epoch-Monday) mod 7 < 5, the
+    q_seasonal_forecast recipe, immune to the engines' dayofweek split —
+    kept as a JVM higher-order filter (no row explosion: the sequence
+    lives inside one array expression per row, bounded by the ship-lag
+    span). Floor-division monthly average (nonneg ⇒ div == //).
+
+    Plan: one co-keyed fact join (orderkey), pure projections, one
+    map-side-combined month rollup."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("od"),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start"
+        ),
+    )
+    # "first ship" = MIN ship date per order — robust to the duplicate
+    # (orderkey, linenumber) rows this synthetic data contains (a
+    # linenumber=1 filter alone would fan the join out 1:N)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.to_date(F.date_trunc("day", F.col("l_shipdate")))).alias(
+                "sd"
+            )
+        )
+    )
+    # GUARD: this synthetic data contains sd ≤ od rows (min lag −2361 d);
+    # Spark's sequence(start, stop) with stop < start silently generates a
+    # DESCENDING range while DuckDB's generate_series returns empty — the
+    # CASE pins both engines to "0 business days for non-positive lags".
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "month_start",
+        F.when(
+            F.col("sd") > F.col("od"),
+            F.size(
+                F.expr(
+                    "filter(sequence(date_add(od, 1), sd),"
+                    f" d -> datediff(d, DATE '{EPOCH_MONDAY}') % 7 < 5)"
+                )
+            ),
+        )
+        .otherwise(0)
+        .alias("busdays"),
+    )
+    return lat.groupBy("month_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("sum(busdays) div count(*)").cast("bigint").alias("avg_busdays"),
+        F.max("busdays").cast("bigint").alias("max_busdays"),
+    )

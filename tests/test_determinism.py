@@ -319,3 +319,23 @@ def test_wave18_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+WAVE19 = ["q_interval_coverage", "q_business_days_sla"]
+
+
+def test_wave19_ops_stable_across_shuffle_partitions(spark, sf_dir):
+    """Every nineteenth-wave operator must produce the bit-identical
+    canonical result at shuffle widths 1, 7, and 32 — interval coverage
+    found its duplicate-boundary nondeterminism through exactly this
+    class of check (distinct-before-windows is the fix)."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in WAVE19:
+            results = set()
+            for n in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.add(_canon(QUERIES[name](spark, sf_dir)))
+            assert len(results) == 1, f"{name} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

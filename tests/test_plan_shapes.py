@@ -789,3 +789,19 @@ def test_retraction_scans_push_filters(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_incremental_agg_retraction"](spark, sf_dir))
     assert "partial_sum" in tree or "partial_count" in tree, tree
     assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_interval_coverage_single_keyed_exchange(spark, sf_dir):
+    """q_interval_coverage: all three windows + the island rollup ride one
+    priority-keyed exchange (after the distinct's own exchange)."""
+    tree = _extended_tree(QUERIES["q_interval_coverage"](spark, sf_dir))
+    assert tree.count("Exchange hashpartitioning(pri") <= 2, tree
+    assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_business_days_hof_no_explosion(spark, sf_dir):
+    """q_business_days_sla: the per-row date range lives inside one array
+    expression (HOF filter), never exploding to rows."""
+    tree = _extended_tree(QUERIES["q_business_days_sla"](spark, sf_dir))
+    assert "Generate" not in tree, tree
+    assert "partial_sum" in tree or "partial_count" in tree, tree
