@@ -167,6 +167,9 @@ _PRIORITY = [
     # round-3 nineteenth-wave ops (all oracle-backed, r4-rotation
     # candidates): interval union/coverage, business-day SLA latency
     "q_interval_coverage", "q_business_days_sla",
+    # round-3 twentieth-wave op (oracle-backed, r4-rotation candidate):
+    # exact distributed PERCENTILE_CONT (linear interpolation)
+    "q_percentile_cont_exact",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -2618,3 +2618,153 @@ def q_incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)  # empty groups retract out of the view
     )
+
+
+PCTC_BUCKET = 100_000  # $1000 buckets — price-domain-scale, like WM_BUCKET
+
+
+@query(
+    "q_percentile_cont_exact",
+    oracle=f"""
+    WITH vw AS (
+      SELECT l_returnflag AS f,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT f, v,
+             SUM(c) OVER (PARTITION BY f ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumr
+      FROM vw
+    ), tot AS (
+      SELECT f, SUM(c) AS n FROM vw GROUP BY f
+    ), pos AS (
+      SELECT t.f, g.r, t.n,
+             ((t.n - 1) * g.r) // 4 + 1 AS p1,
+             ((t.n - 1) * g.r) % 4 AS rem,
+             CASE WHEN ((t.n - 1) * g.r) % 4 = 0
+                  THEN ((t.n - 1) * g.r) // 4 + 1
+                  ELSE ((t.n - 1) * g.r) // 4 + 2 END AS p2
+      FROM tot t CROSS JOIN (VALUES (1), (2), (3)) g(r)
+    ), lo AS (
+      SELECT p.f, p.r, MIN(c.v) AS vlo
+      FROM pos p JOIN cum c ON c.f = p.f AND c.cumr >= p.p1
+      GROUP BY 1, 2
+    ), hi AS (
+      SELECT p.f, p.r, MIN(c.v) AS vhi
+      FROM pos p JOIN cum c ON c.f = p.f AND c.cumr >= p.p2
+      GROUP BY 1, 2
+    )
+    SELECT p.f AS l_returnflag, CAST(p.r AS INT) AS quarter,
+           CAST(p.n AS BIGINT) AS n_rows,
+           CAST((4 - p.rem) * lo.vlo + p.rem * hi.vhi AS BIGINT)
+             AS q_quarter_cents
+    FROM pos p
+    JOIN lo ON lo.f = p.f AND lo.r = p.r
+    JOIN hi ON hi.f = p.f AND hi.r = p.r
+    """,
+)
+def q_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PERCENTILE_CONT: the three quartiles of the price
+    distribution per return flag with LINEAR interpolation, integer-exact
+    in quarter-cents — 4·PERCENTILE_CONT(r/4) = (4−rem)·v[I] + rem·v[I+1]
+    where I = ((n−1)·r) div 4 and rem its remainder, so the interpolated
+    value never touches floating point (percentile_disc is already
+    covered; this is the CONT semantics engines like numpy('linear') and
+    ANSI PERCENTILE_CONT define, made hash-portable by the ×4 scaling).
+
+    Scale shape — the q_weighted_median two-phase generalized from ONE
+    half-weight threshold to SIX order statistics: value-grain collapse
+    (map-side combined) → $1000-bucket row counts + per-flag bucket
+    prefix sum (price-domain-scale frame) → each (flag, quartile, lo/hi)
+    position finds its straddle bucket on that metadata frame → the
+    value-grain prefix sum runs ONLY inside the ≤6 targeted bucket
+    slices. No SinglePartition pass over values; the oracle states the
+    same positions with one direct window."""
+    vw = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("f"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wb = vw.groupBy("f", F.expr(f"v div {PCTC_BUCKET}").alias("b")).agg(
+        F.sum("c").alias("wb")
+    )
+    bwin = Window.partitionBy("f").orderBy("b")
+    cumb = wb.withColumn("cumb", F.sum("wb").over(bwin))
+    tot = wb.groupBy("f").agg(F.sum("wb").alias("n"))
+    pos = (
+        tot.select("f", "n", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"))
+        .select(
+            "f",
+            "n",
+            "r",
+            F.expr("((n - 1) * r) div 4 + 1").alias("p1"),
+            F.expr("((n - 1) * r) % 4").alias("rem"),
+            F.expr(
+                "CASE WHEN ((n - 1) * r) % 4 = 0 THEN ((n - 1) * r) div 4 + 1"
+                " ELSE ((n - 1) * r) div 4 + 2 END"
+            ).alias("p2"),
+        )
+    )
+    # one row per (flag, quartile, which-endpoint) with its target position
+    thresholds = pos.selectExpr(
+        "f", "n", "r", "rem", "stack(2, 'lo', p1, 'hi', p2) AS (which, pos)"
+    )
+    # straddle bucket per threshold on the metadata-scale bucket frame
+    pick = (
+        cumb.join(thresholds, "f")
+        .filter(F.col("cumb") >= F.col("pos"))
+        .groupBy("f", "r", "which")
+        .agg(
+            F.min_by(F.struct("b", "cumb", "wb"), "b").alias("tb"),
+            F.first("pos").alias("pos"),
+            F.first("rem").alias("rem"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "f",
+            "r",
+            "which",
+            "pos",
+            "rem",
+            "n",
+            F.col("tb.b").alias("b"),
+            (F.col("tb.cumb") - F.col("tb.wb")).alias("prior"),
+        )
+    )
+    vwin = Window.partitionBy("f", "r", "which").orderBy("v")
+    inside = (
+        vw.withColumn("b", F.expr(f"v div {PCTC_BUCKET}"))
+        .join(F.broadcast(pick), ["f", "b"])
+        .withColumn("cumv", F.sum("c").over(vwin))
+        .filter(F.col("prior") + F.col("cumv") >= F.col("pos"))
+        .groupBy("f", "r", "which")
+        .agg(
+            F.min("v").alias("val"),
+            F.first("rem").alias("rem"),
+            F.first("n").alias("n"),
+        )
+    )
+    wide = (
+        inside.groupBy("f", "r")
+        .agg(
+            F.min(F.when(F.col("which") == "lo", F.col("val"))).alias("vlo"),
+            F.min(F.when(F.col("which") == "hi", F.col("val"))).alias("vhi"),
+            F.first("rem").alias("rem"),
+            F.first("n").alias("n"),
+        )
+    )
+    return wide.select(
+        F.col("f").alias("l_returnflag"),
+        F.col("r").cast("int").alias("quarter"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        ((4 - F.col("rem")) * F.col("vlo") + F.col("rem") * F.col("vhi"))
+        .cast("bigint")
+        .alias("q_quarter_cents"),
+    )

@@ -339,3 +339,18 @@ def test_wave19_ops_stable_across_shuffle_partitions(spark, sf_dir):
             assert len(results) == 1, f"{name} varies with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_wave20_percentile_cont_stable_across_shuffle_partitions(spark, sf_dir):
+    """q_percentile_cont_exact must produce the bit-identical canonical
+    result at shuffle widths 1, 7, and 32 — six order statistics through
+    the two-phase bucket machinery."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = set()
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.add(_canon(QUERIES["q_percentile_cont_exact"](spark, sf_dir)))
+        assert len(results) == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

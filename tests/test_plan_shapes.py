@@ -805,3 +805,12 @@ def test_business_days_hof_no_explosion(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_business_days_sla"](spark, sf_dir))
     assert "Generate" not in tree, tree
     assert "partial_sum" in tree or "partial_count" in tree, tree
+
+
+def test_percentile_cont_no_global_value_sort(spark, sf_dir):
+    """q_percentile_cont_exact: both prefix sums partition by flag (bucket
+    grain, then targeted bucket slices) — no SinglePartition pass over the
+    value domain; the threshold frame broadcasts back."""
+    tree = _extended_tree(QUERIES["q_percentile_cont_exact"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
