@@ -170,6 +170,9 @@ _PRIORITY = [
     # round-3 twentieth-wave op (oracle-backed, r4-rotation candidate):
     # exact distributed PERCENTILE_CONT (linear interpolation)
     "q_percentile_cont_exact",
+    # round-3 twenty-first-wave op (oracle-backed, r4-rotation candidate):
+    # hierarchical subtree rollup via path enumeration (BOM/org trees)
+    "q_bom_rollup",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -591,3 +591,84 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+BOM_FANOUT = 8  # synthetic tree arity: parent(pk) = pk div 8 (roots: 1..7)
+BOM_MAX_DEPTH = 8  # covers part keys up to 8^8 ≈ 16.7M (sf1 max ~2M)
+BOM_TOPN = 20
+
+
+@query(
+    "q_bom_rollup",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS pk,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS own_cents
+      FROM part WHERE p_partkey >= 1
+    ), anc AS (
+      SELECT unnest(list_filter(
+               list_transform(range(0, {BOM_MAX_DEPTH} + 1),
+                              k -> pk // CAST(pow({BOM_FANOUT}, k) AS BIGINT)),
+               a -> a >= 1)) AS node,
+             own_cents
+      FROM nodes
+    ), roll AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS subtree_size,
+             CAST(SUM(own_cents) AS BIGINT) AS subtree_cents
+      FROM anc GROUP BY node
+    )
+    SELECT r.node, r.subtree_size, r.subtree_cents
+    FROM roll r JOIN nodes n ON n.pk = r.node
+    ORDER BY r.subtree_cents DESC, r.node LIMIT {BOM_TOPN}
+    """,
+)
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup (bill-of-materials / org-chart /
+    account-tree aggregation): every node's subtree total — itself plus
+    ALL transitive descendants — over a synthetic part tree
+    (parent = key div {BOM_FANOUT}; derived from the key so both engines
+    build the identical hierarchy with no fixture file).
+
+    The 100 TB trick is PATH ENUMERATION instead of iteration: a node m
+    contributes to exactly its ≤{BOM_MAX_DEPTH} ancestors (m div fanout^k),
+    so ONE bounded explode + ONE hash aggregate computes every subtree
+    total simultaneously — no per-level loop, no recursive join, depth
+    bounded by log_fanout(keyspace). Compare q_graph_pagerank (unrolled
+    iteration — needed when edges are arbitrary); trees with computable
+    ancestors skip iteration entirely. The semi-join back to real nodes
+    drops phantom ancestors outside the part table, and the head is
+    TakeOrderedAndProject. The same shape handles account hierarchies
+    (path arrays instead of arithmetic parents)."""
+    # tree domain is keys >= 1: key 0 is its own div-quotient fixpoint, so
+    # it can be neither ancestor nor descendant — excluded on both sides
+    nodes = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").alias("pk"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("own_cents"),
+        )
+    )
+    anc = nodes.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, {BOM_MAX_DEPTH}),"
+                f" k -> pk div cast(pow({BOM_FANOUT}, k) as bigint)),"
+                " a -> a >= 1)"
+            )
+        ).alias("node"),
+        "own_cents",
+    )
+    roll = anc.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+        F.sum("own_cents").cast("bigint").alias("subtree_cents"),
+    )
+    real = nodes.select(F.col("pk").alias("node"))
+    return (
+        roll.join(real, "node")
+        .orderBy(F.desc("subtree_cents"), F.asc("node"))
+        .limit(BOM_TOPN)
+    )

@@ -354,3 +354,17 @@ def test_wave20_percentile_cont_stable_across_shuffle_partitions(spark, sf_dir):
         assert len(results) == 1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_wave21_bom_rollup_stable_across_shuffle_partitions(spark, sf_dir):
+    """q_bom_rollup must produce the bit-identical canonical result at
+    shuffle widths 1, 7, and 32."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = set()
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.add(_canon(QUERIES["q_bom_rollup"](spark, sf_dir)))
+        assert len(results) == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -814,3 +814,13 @@ def test_percentile_cont_no_global_value_sort(spark, sf_dir):
     tree = _extended_tree(QUERIES["q_percentile_cont_exact"](spark, sf_dir))
     assert "Exchange SinglePartition" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_bom_rollup_no_iteration_no_recursion(spark, sf_dir):
+    """q_bom_rollup: path enumeration — ONE bounded Generate + one hash
+    agg + the node semi-join; no iterative join chain, head via
+    TakeOrderedAndProject."""
+    tree = _extended_tree(QUERIES["q_bom_rollup"](spark, sf_dir))
+    assert tree.count("Generate") == 1, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
