@@ -173,6 +173,9 @@ _PRIORITY = [
     # round-3 twenty-first-wave op (oracle-backed, r4-rotation candidate):
     # hierarchical subtree rollup via path enumeration (BOM/org trees)
     "q_bom_rollup",
+    # round-3 twenty-second-wave op (oracle-backed, r4-rotation candidate):
+    # point-in-time SCD2 dimension lookup (the q_scd2 consumption verb)
+    "q_scd2_lookup",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

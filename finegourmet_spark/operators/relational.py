@@ -2768,3 +2768,100 @@ def q_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_quarter_cents"),
     )
+
+
+SCD2_LKP_V1 = "1997-01-01"  # first dimension snapshot becomes effective
+SCD2_LKP_V2 = "1999-01-01"  # balance-bump snapshot for even customer keys
+
+
+@query(
+    "q_scd2_lookup",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT c_custkey, DATE '{SCD2_LKP_V1}' AS eff
+      FROM customer
+    ), v2 AS (
+      SELECT c_custkey, DATE '{SCD2_LKP_V2}' AS eff
+      FROM customer WHERE c_custkey % 2 = 0
+    ), allv AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ), versioned AS (
+      SELECT c_custkey, eff AS valid_from,
+             COALESCE(CAST(lead(eff) OVER (PARTITION BY c_custkey
+                                           ORDER BY eff) - INTERVAL 1 DAY
+                           AS DATE), DATE '9999-12-31') AS valid_to
+      FROM allv
+    ), joined AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             v.valid_from
+      FROM orders o
+      LEFT JOIN versioned v
+        ON v.c_custkey = o.o_custkey
+       AND CAST(date_trunc('day', o.o_orderdate) AS DATE)
+             BETWEEN v.valid_from AND v.valid_to
+    )
+    SELECT COALESCE(CAST(valid_from AS VARCHAR), 'pre-history') AS dim_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM joined GROUP BY 1
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup — the warehouse join verb that
+    q_scd2 (version construction) exists to serve: each fact row joins
+    the dimension VERSION that was valid on its transaction date, never
+    today's attributes (joining current attributes to historical facts is
+    the classic retroactive-truth bug). Facts predating the first
+    snapshot keep a NULL version and are reported as 'pre-history' — the
+    unversioned channel a real load must surface, not drop.
+
+    The validity intervals are non-overlapping per key BY CONSTRUCTION
+    (lead() tiling, same as q_scd2), so the interval predicate matches at
+    most one version per fact — the join stays 1:1 and needs no dedup.
+    Plan shape: ONE co-keyed equi-join on the customer key with the date
+    predicate as a residual filter (each customer's version list is tiny,
+    so the residual scan is bounded per key — the q_join_range argument
+    without even needing buckets), then a version-grain rollup."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    v1 = cust.select("c_custkey", F.lit(SCD2_LKP_V1).cast("date").alias("eff"))
+    v2 = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", F.lit(SCD2_LKP_V2).cast("date").alias("eff"))
+    )
+    wv = Window.partitionBy("c_custkey").orderBy("eff")
+    versioned = (
+        v1.unionByName(v2)
+        .select(
+            "c_custkey",
+            F.col("eff").alias("valid_from"),
+            F.coalesce(
+                F.date_sub(F.lead("eff").over(wv), 1),
+                F.lit("9999-12-31").cast("date"),
+            ).alias("valid_to"),
+        )
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("od"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    joined = o.join(
+        versioned,
+        (o["o_custkey"] == versioned["c_custkey"])
+        & (F.col("od") >= F.col("valid_from"))
+        & (F.col("od") <= F.col("valid_to")),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(
+            F.col("valid_from").cast("string"), F.lit("pre-history")
+        ).alias("dim_version")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )

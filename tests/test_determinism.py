@@ -368,3 +368,17 @@ def test_wave21_bom_rollup_stable_across_shuffle_partitions(spark, sf_dir):
         assert len(results) == 1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_wave22_scd2_lookup_stable_across_shuffle_partitions(spark, sf_dir):
+    """q_scd2_lookup must produce the bit-identical canonical result at
+    shuffle widths 1, 7, and 32."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = set()
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.add(_canon(QUERIES["q_scd2_lookup"](spark, sf_dir)))
+        assert len(results) == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -824,3 +824,13 @@ def test_bom_rollup_no_iteration_no_recursion(spark, sf_dir):
     assert tree.count("Generate") == 1, tree
     assert "TakeOrderedAndProject" in tree, tree
     assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_scd2_lookup_cokeyed_equi_join(spark, sf_dir):
+    """q_scd2_lookup: the point-in-time join is a key equi-join with the
+    validity dates as residual filters — never a nested loop over the
+    interval predicate."""
+    tree = _extended_tree(QUERIES["q_scd2_lookup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "LeftOuter" in tree, tree
