@@ -568,13 +568,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 
-    # fold bits high→low: sim = ((b63*2 + b62)*2 + ...) — wraps at bit 63,
-    # deterministic (non-ANSI long arithmetic), fine for a signature
+    # fold bits high→low: sim = (b63<<63) | (b62<<62) | ... — assembled with
+    # shiftleft+bitwiseOR, which are wraparound bit ops under BOTH ANSI modes
+    # (the previous `acc * 2 + b` fold threw ARITHMETIC_OVERFLOW at bit 63
+    # under the driver's ANSI-on session, CORRECTNESS_r03 ERR; bit ops never
+    # overflow-check, so the signature is session-conf independent)
     bits_high_to_low = F.array(*[bit_vote(j) for j in range(63, -1, -1)])
     sim = F.aggregate(
         bits_high_to_low,
         F.lit(0).cast("long"),
-        lambda acc, b: acc * 2 + b,
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
     )
     sigs = d.select("doc_id", sim.alias("simhash"))
     from pyspark.sql.window import Window

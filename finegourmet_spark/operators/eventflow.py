@@ -1230,6 +1230,11 @@ FC_HORIZON = 7  # days forecast past the last observed day
 # Monday anchor for the engine-portable weekday: weekday = (d − 1970-01-05)
 # mod 7 — pure date arithmetic, avoiding the dayofweek/isodow convention
 # mismatch between engines (Spark Sunday=1, DuckDB isodow Monday=1).
+# Domain assumption: dates ≥ 1970-01-05 (both engines' % takes the dividend's
+# sign, so a pre-epoch date would land in a negative residue class; here the
+# residue is only used as an opaque join/group key over post-1970 order
+# dates, so the bare `% 7` form is correct — predicates that RANGE-compare
+# the residue must use the non-negative form, see temporal.EPOCH_MONDAY).
 FC_EPOCH_MONDAY = "1970-01-05"
 
 
@@ -1573,7 +1578,10 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        mapping[F.col("event_type")].alias("i"),
+        # coalesce mirrors the oracle's CASE ... ELSE 'e': an event_type
+        # outside CEP_INITIALS must map to 'e', not NULL (array_join would
+        # silently drop a NULL char and the engines would diverge — r3 ADVICE)
+        F.coalesce(mapping[F.col("event_type")], F.lit("e")).alias("i"),
     )
     seqs = (
         e.groupBy("user_id")

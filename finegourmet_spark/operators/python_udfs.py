@@ -176,7 +176,12 @@ def q_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="inst_no: int, inst_cents: bigint", useArrow=True)
     class Installments:
         def eval(self, cents: int):
+            # NULL totals still emit N rows with NULL inst_cents — the exact
+            # shape the oracle's CROSS JOIN produces (r3 ADVICE: returning
+            # zero rows would make the order vanish on the Spark side only)
             if cents is None:
+                for i in range(1, N_INSTALLMENTS + 1):
+                    yield i, None
                 return
             base, rem = divmod(cents, N_INSTALLMENTS)
             for i in range(1, N_INSTALLMENTS + 1):

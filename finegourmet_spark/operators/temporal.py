@@ -1313,7 +1313,10 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Monday anchor for the engine-portable weekday (same convention as
 # eventflow.FC_EPOCH_MONDAY; duplicated here because eventflow imports
-# from this module — a reverse import would cycle).
+# from this module — a reverse import would cycle). Both engines' `%` takes
+# the dividend's sign, so pre-epoch dates need the non-negative form
+# ((diff % 7) + 7) % 7 wherever the remainder is compared to a range
+# (r3 ADVICE: a bare `% 7 < 5` counts every pre-1970 day as a weekday).
 EPOCH_MONDAY = "1970-01-05"
 
 
@@ -1331,7 +1334,8 @@ EPOCH_MONDAY = "1970-01-05"
                    generate_series(CAST(date_trunc('day', o.o_orderdate)
                                         AS DATE) + 1,
                                    fs.sd, INTERVAL 1 DAY),
-                   d -> (CAST(d AS DATE) - DATE '{EPOCH_MONDAY}') % 7 < 5))
+                   d -> (((CAST(d AS DATE) - DATE '{EPOCH_MONDAY}') % 7) + 7)
+                        % 7 < 5))
              ELSE 0 END AS busdays
       FROM orders o
       JOIN fs ON fs.l_orderkey = o.o_orderkey
@@ -1385,7 +1389,8 @@ def q_business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(
                 F.expr(
                     "filter(sequence(date_add(od, 1), sd),"
-                    f" d -> datediff(d, DATE '{EPOCH_MONDAY}') % 7 < 5)"
+                    " d -> ((datediff(d,"
+                    f" DATE '{EPOCH_MONDAY}') % 7) + 7) % 7 < 5)"
                 )
             ),
         )

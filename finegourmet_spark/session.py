@@ -39,7 +39,16 @@ def get_spark(
         .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         # --- correctness-affecting semantics ---
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI default off (reference-permissive casts), but every registered
+        # query must ALSO run green under ANSI-on — the driver's harness uses
+        # Spark 4 defaults (ANSI on) and r3 proved a conf-dependent query
+        # (q_dedup_simhash ARITHMETIC_OVERFLOW) slips through otherwise.
+        # SPARK_GRAFT_ANSI=true flips the whole engine session for sweeps;
+        # tests/test_ansi_robustness.py pins a sampled subset permanently.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         # --- scale posture ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
