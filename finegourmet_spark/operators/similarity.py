@@ -197,18 +197,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_similarity_topk_np")  # rows-only: numpy BLAS sum order ≠ sequential fold
+# Candidate-keep slack for the GEMM pruner, in cosine units. BLAS pairwise
+# summation vs the sequential fold drift by < 1e-9 absolute on 64-dim unit
+# vectors; 2 ppm of slack guarantees any pair whose FOLD-rounded (6-decimal)
+# score ties-or-beats the batch's k-th score survives pruning, so the exact
+# JVM re-rank below sees a strict superset of the true global top-k.
+GEMM_PRUNE_SLACK = 2e-6
+
+
+@query("q_similarity_topk_np", oracle=ORACLES["q_similarity_topk"])
 def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k, Arrow/numpy fast path: the probe matrix
-    (20×64 floats — metadata-scale) is collected once and closed over; the
-    corpus streams through mapInPandas in Arrow batches, each batch scoring
-    ALL probes with one float64 GEMM and emitting only its per-batch top-k
-    per probe (partial top-k!); a final window takes the global top-k over
-    ≤ k·n_batches·n_probes candidate rows — the shuffle carries candidates,
-    never the full score matrix. Semantically identical to q_similarity_topk
-    (pytest-asserted); registered rows-only because BLAS pairwise summation
-    differs from the sequential fold in the last ulps, which can flip a
-    6-decimal rounding boundary."""
+    """Brute-force cosine top-k, Arrow/numpy fast path with exact re-rank:
+    the probe matrix (20×64 floats — metadata-scale) is collected once and
+    closed over; the corpus streams through mapInPandas in Arrow batches,
+    each batch scoring ALL probes with one float64 GEMM and emitting only a
+    per-batch top-k candidate SUPERSET per probe (partial top-k with 2 ppm
+    of keep-slack, embedding carried through); the ≤ (k+ties)·n_batches·
+    n_probes survivors are then re-scored JVM-side with the identical
+    sequential-fold expression the oracle uses and window-ranked. GEMM does
+    the O(N·d) work, the exact fold only touches the candidate set — so the
+    result is bit-identical to q_similarity_topk (now oracle-backed; was
+    rows-only until r4 because the pre-rewrite version RANKED on the BLAS
+    sums, whose pairwise summation order can flip a 6-decimal boundary)."""
+    import numpy as np
     import pandas as pd
 
     e = t(spark, sf_dir, "embeddings")
@@ -217,48 +228,58 @@ def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()  # metadata-scale: N_QUERIES rows, not the corpus
     )
-    import numpy as np
-
-    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    out_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
     if not probe_rows:  # empty corpus ⇒ no probes ⇒ empty result, not a crash
         return spark.createDataFrame([], out_schema)
     probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     probe_mat = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
     probe_mat /= np.linalg.norm(probe_mat, axis=1, keepdims=True)
 
-    def score_batches(batches):
+    cand_schema = "query_id long, neighbor_id long, embedding array<float>"
+
+    def prune_batches(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            embs = pdf["embedding"]
+            mat = np.vstack(embs.to_numpy()).astype(np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = probe_mat @ mat.T  # (n_probes, batch)
             for qi, qid in enumerate(probe_ids):
-                row = sims[qi]
                 mask = ids != qid
-                cand_ids, cand_sims = ids[mask], np.round(row[mask], 6)
-                take = min(TOP_K, len(cand_ids))
-                if take == 0:
+                cand_sims = sims[qi][mask]
+                if cand_sims.size == 0:
                     continue
-                # partial top-k inside the batch. Keep EVERYTHING at or above
-                # the boundary similarity — a plain [:take] slice in batch
-                # order could cut a tied neighbor with a lower id, breaking
-                # exact parity with the global lowest-id tie-break (r2
-                # advisor finding). Ties are bounded: sims are rounded to 6
-                # decimals, so the >= threshold keeps a small superset.
-                order = np.argsort(-cand_sims, kind="stable")
-                boundary = cand_sims[order[min(take, len(order)) - 1]]
-                keep = cand_sims >= boundary
+                take = min(TOP_K, cand_sims.size)
+                # keep everything within slack of the batch's k-th raw score:
+                # covers 6-decimal ties AND gemm-vs-fold ulp drift, so no
+                # candidate the exact re-rank could surface is ever cut
+                boundary = np.partition(cand_sims, -take)[-take]
+                keep = cand_sims >= boundary - GEMM_PRUNE_SLACK
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cand_ids[keep],
-                        "cos_sim": cand_sims[keep],
+                        "neighbor_id": ids[mask][keep],
+                        "embedding": embs[mask][keep].reset_index(drop=True),
                     }
                 )
 
-    candidates = e.select("vec_id", "embedding").mapInPandas(score_batches, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+    candidates = e.select("vec_id", "embedding").mapInPandas(
+        prune_batches, cand_schema
+    )
+    # exact re-rank: identical expression tree to q_similarity_topk / the
+    # oracle, evaluated only over the pruned candidates (probe side broadcast)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = candidates.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
 
