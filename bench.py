@@ -54,6 +54,24 @@ def main() -> None:
     )
     queries = contract.queries()
 
+    # Session-wide warmup BEFORE any timed loop: touch every input table
+    # (parquet footers + OS page cache) and run one tiny shuffle so
+    # whole-stage-codegen JIT, shuffle machinery, and AQE paths are compiled
+    # before the first query's own warmup run. Without this the first
+    # headline query silently absorbs the JVM cold-start (r3 VERDICT item 7:
+    # q_agg_basic measured 10.9 s in a cold sf1 sweep vs 2.72 s isolated).
+    from finegourmet_spark.sources.testdata import load_table
+
+    for table in ("lineitem", "orders", "customer", "part", "supplier",
+                  "nation", "region", "events", "documents", "embeddings"):
+        try:
+            df = load_table(spark, sf_dir, table)
+            df.groupBy(df.columns[0]).count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # missing optional table: warm what exists
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

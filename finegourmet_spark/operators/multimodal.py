@@ -1,21 +1,26 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-The container has no IMAGE codecs (that decode step is STUBBED behind
-``decode_image``), but the AUDIO path is fully real: ``q_multimodal_audio``
-encodes genuine WAV containers and ``decode_wav`` parses them back with the
-stdlib codec, oracle-verified end-to-end. Everything Spark-side is real and
-tested for all modalities: schema (binary payload + metadata struct),
-partition-friendly batch shape (mapInPandas processes one Arrow batch at a
-time — bounded memory per task regardless of corpus size), and the UDF
-signatures a real image decoder would slot into. The synthetic image payload
-is the utf-8 encoding of document text; its "feature extraction" is a
-deterministic function of the bytes so the DuckDB oracle can verify the
-plumbing end-to-end.
+BOTH decode paths are real. AUDIO: ``q_multimodal_audio`` encodes genuine
+WAV containers and ``decode_wav`` parses them back with the stdlib codec.
+IMAGE: the container ships no compressed-image codecs (no PIL/ffmpeg), so
+the image modality uses BMP — a real, spec-compliant, uncompressed raster
+container that needs no external library: ``encode_bmp`` writes the
+54-byte BITMAPFILEHEADER+BITMAPINFOHEADER and 24-bit BGR bottom-up padded
+pixel array, ``decode_image`` parses it back (magic, offsets, dimension
+fields, row padding, vertical flip, BGR→RGB). ``q_multimodal_features``
+round-trips every document through encode→decode and computes its features
+from the DECODED pixels, with a closed-form DuckDB oracle — a bug in either
+direction (channel order, row order, padding, header arithmetic) breaks
+parity. Everything Spark-side is shared across modalities: schema (binary
+payload + metadata struct), partition-friendly batch shape (mapInPandas
+processes one Arrow batch at a time — bounded memory per task regardless
+of corpus size), and Arrow-vectorized UDF signatures.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,13 +30,58 @@ from pyspark.sql import functions as F
 from finegourmet_spark.operators.registry import query
 from finegourmet_spark.sources.testdata import load_table as t
 
+_BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 
-def decode_image(payload: bytes) -> object:
-    """REAL DECODER GOES HERE (PIL.Image.open / torchvision / ffmpeg frame
-    sample). Stubbed: the container ships no image codecs. (The AUDIO path
-    is NOT stubbed — see decode_wav below: WAV is parsed with the stdlib
-    codec and oracle-verified end-to-end in q_multimodal_audio.)"""
-    raise NotImplementedError("image codecs are not available in this container")
+
+def encode_bmp(img) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real 24-bit BMP file:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BGR channel order, bottom-up row
+    order, each row zero-padded to a 4-byte boundary — the on-disk layout
+    every BMP reader expects (verified round-trip by ``decode_image``)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    row_bytes = (3 * w + 3) // 4 * 4
+    size = _BMP_HEADER_BYTES + row_bytes * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", size, 0, 0, _BMP_HEADER_BYTES,   # file header
+        40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0,  # DIB header
+    )
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : 3 * w] = img[::-1, :, ::-1].reshape(h, 3 * w)  # flip + BGR
+    return header + padded.tobytes()
+
+
+def decode_image(payload: bytes):
+    """REAL image decode: parse a 24-bit uncompressed BMP container and
+    return (width, height, (H, W, 3) uint8 RGB top-down pixel array).
+    Container parsing done for real — magic check, pixel-array offset,
+    dimension fields, 4-byte row padding, bottom-up flip, BGR→RGB —
+    exactly the work PIL.Image.open would do for this format. Raises
+    ValueError on anything that is not a 24-bit uncompressed BMP."""
+    import numpy as np
+
+    if len(payload) < _BMP_HEADER_BYTES or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    top_down = h < 0  # negative height ⇒ rows already top-down per spec
+    h = abs(h)
+    row_bytes = (3 * w + 3) // 4 * 4
+    if len(payload) < pixel_off + row_bytes * h:
+        raise ValueError("truncated pixel array")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
+    rows = raw.reshape(h, row_bytes)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1]  # BGR → RGB
 
 
 def decode_wav(payload: bytes) -> tuple[int, "object"]:
@@ -135,39 +185,93 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic image dimensions: width from text length (co-prime-ish modulus
+# so non-multiple-of-4 row widths exercise BMP padding), height from doc_id.
+IMG_W_MOD, IMG_H_MOD = 31, 17
+
+
 @query(
     "q_multimodal_features",
-    oracle="""
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (length(text) % {IMG_W_MOD}) + 2 AS w,
+             (doc_id % {IMG_H_MOD}) + 2 AS h
+      FROM documents
+    )
     SELECT doc_id,
-           octet_length(encode(text)) % 640 AS width,
-           octet_length(encode(text)) % 480 AS height,
-           CAST(octet_length(encode(text)) AS DOUBLE) / 1024.0 AS kb
-    FROM documents
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST({_BMP_HEADER_BYTES} + h * ((3 * w + 3) // 4 * 4) AS BIGINT)
+             AS n_bytes,
+           CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
+           CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+           CAST(w * h * (doc_id % 256) AS BIGINT) AS sum_b,
+           CAST(h - 1 AS BIGINT) AS bottom_left_g
+    FROM dims
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction via mapInPandas over binary payloads — the real
-    shape of a distributed decode: iterator of Arrow batches in, feature
-    frame out, one task per input split, no driver involvement. The decode
-    itself is a deterministic fake (bytes-derived dims) standing in for
-    `decode_image`; swap the two lines marked STUB for a real codec."""
-    d = with_binary_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+    """REAL image roundtrip — encode genuine BMP containers, decode them
+    back with the pure-Python container parser, extract features from the
+    DECODED pixels (the WAV pattern at q_multimodal_audio, applied to the
+    image modality; replaces the pre-r4 bytes-derived stub).
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Per document a deterministic RGB gradient image is synthesized
+    (R = column index, G = row index, B = doc_id mod 256; width from text
+    length, height from doc_id), encoded by ``encode_bmp`` into an actual
+    24-bit BMP file, then DECODED BACK by ``decode_image`` and reduced to
+    features: dimensions, container size, per-channel pixel sums, and the
+    bottom-left G value. Every feature has a closed form the oracle
+    recomputes from (doc_id, length(text)) alone, and each one traps a
+    distinct decoder bug class: sum_r vs sum_g asymmetry catches a BGR/RGB
+    channel swap, bottom_left_g = h−1 catches a missing bottom-up flip,
+    the non-multiple-of-4 widths catch row-padding mistakes, n_bytes
+    checks the header arithmetic.
+
+    Scale shape: one mapInPandas pass, bounded Arrow batches, no shuffle —
+    identical to how a real corpus would decode opaque image blobs."""
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            # STUB: deterministic fake features; a real decoder would do
-            #   img = decode_image(payload); width, height = img.size
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": (n_bytes % 640).astype("int64"),
-                    "height": (n_bytes % 480).astype("int64"),
-                    "kb": n_bytes.astype("float64") / 1024.0,
-                }
-            )
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % IMG_W_MOD + 2
+                h = int(doc_id) % IMG_H_MOD + 2
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+                img[:, :, 2] = int(doc_id) % 256
+                payload = encode_bmp(img)  # a real, spec-compliant BMP file
 
-    return d.mapInPandas(extract, schema="doc_id long, width bigint, height bigint, kb double")
+                dw, dh, pix = decode_image(payload)  # REAL decode
+                sums = pix.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": dw,
+                        "height": dh,
+                        "n_bytes": len(payload),
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                        "bottom_left_g": int(pix[dh - 1, 0, 1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, width bigint, height bigint, n_bytes bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, bottom_left_g bigint"
+        ),
+    )
 
 
 AUDIO_RATE = 8000

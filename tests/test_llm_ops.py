@@ -262,19 +262,61 @@ def test_multimodal_frames_empty_payload_emits_no_rows(spark, tmp_path_factory):
     assert all(r["frame_bytes"] > 0 and r["frame_no"] >= 0 for r in frames)
 
 
-def test_multimodal_decode_stub_contract(spark, sf_dir):
-    """The decode stub raises NotImplementedError (no codecs in this
-    container) while the surrounding plumbing stays fully functional."""
+def test_multimodal_bmp_roundtrip_exact():
+    """encode_bmp → decode_image is pixel-exact for arbitrary RGB content,
+    including widths whose 3·w is not a multiple of 4 (row padding)."""
+    import numpy as np
+
+    from finegourmet_spark.operators.multimodal import decode_image, encode_bmp
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (5, 4), (33, 18), (64, 2)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(img)
+        dw, dh, out = decode_image(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(out, img), f"pixel mismatch at {w}x{h}"
+        # container size matches the closed-form header arithmetic
+        assert len(payload) == 54 + h * ((3 * w + 3) // 4 * 4)
+
+
+def test_multimodal_decode_rejects_non_bmp(spark, sf_dir):
+    """decode_image fails loud on non-BMP payloads while the binary-column
+    plumbing stays fully functional."""
     import pytest as _pytest
 
     from finegourmet_spark.operators.multimodal import decode_image, with_binary_payload
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+    for junk in (b"\x89PNG...", b"", b"BM" + b"\x00" * 10):
+        with _pytest.raises(ValueError):
+            decode_image(junk)
     d = with_binary_payload(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     row = d.limit(1).collect()[0]
     assert isinstance(row["payload"], (bytes, bytearray))
     assert row["meta"]["mime"] == "text/plain"
+
+
+def test_multimodal_decoder_catches_orientation_and_channel_bugs():
+    """The feature set is bug-sensitive by construction: hand-corrupting the
+    pixel array the way a buggy decoder would (no flip / no channel swap)
+    changes the features the oracle pins."""
+    import numpy as np
+
+    from finegourmet_spark.operators.multimodal import decode_image, encode_bmp
+
+    w, h = 5, 4
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 200
+    _, _, pix = decode_image(encode_bmp(img))
+    assert int(pix[h - 1, 0, 1]) == h - 1  # bottom-up flip happened
+    sums = pix.astype(np.int64).sum(axis=(0, 1))
+    # R (column gradient) vs G (row gradient) asymmetry ⇒ a BGR swap or a
+    # missing flip could not produce these sums simultaneously
+    assert int(sums[0]) == h * (w * (w - 1) // 2)
+    assert int(sums[1]) == w * (h * (h - 1) // 2)
+    assert int(sums[2]) == w * h * 200
 
 
 def test_min_label_raises_on_diameter_beyond_round_bound(spark):
