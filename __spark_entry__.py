@@ -28,6 +28,7 @@ import finegourmet_spark.operators.eventflow  # noqa: F401
 import finegourmet_spark.operators.graph  # noqa: F401
 import finegourmet_spark.operators.quality  # noqa: F401
 import finegourmet_spark.operators.multimodal  # noqa: F401
+import finegourmet_spark.operators.lakehouse  # noqa: F401
 import finegourmet_spark.operators.spatial  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
@@ -120,6 +121,16 @@ _PRIORITY = [
     "q_multimodal_audio", "q_bpe_merge_candidates", "q_string_agg",
     "q_dedup_semantic_clusters", "q_cooccurrence_lift",
     "q_funnel", "q_graph_pagerank",
+    # ---- NEW round-4 ops (all oracle-backed, r5-rotation candidates) ----
+    # wave 23: web-corpus curation (URL canonicalization + dedup, BPE-ish
+    # regex pre-tokenizer token counting)
+    "q_url_canonicalize", "q_token_count_pretokenizer",
+    # wave 24: lakehouse maintenance (MERGE upsert readout, GDPR erasure
+    # cascade audit, join-key skew diagnosis, compaction planning)
+    "q_merge_upsert", "q_gdpr_erasure", "q_skew_diagnose", "q_compaction_plan",
+    # wave 25: exact distribution statistics (integer-exact KS drift,
+    # Mann-Whitney A/B, rational Gini, Kaplan-Meier risk table)
+    "q_ks_drift", "q_mann_whitney_ab", "q_gini_revenue", "q_km_risk_table",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -998,3 +998,270 @@ def q_rank_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lb"), F.asc("l_partkey"))
         .limit(WILSON_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 23/25: exact distribution statistics (drift + nonparametrics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM documents
+    ), merged AS (
+      SELECT v,
+             SUM(is_a) AS ca,
+             SUM(1 - is_a) AS cb
+      FROM tagged GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
+      FROM merged
+    ), diffs AS (
+      SELECT na, nb, v,
+             ABS(nb * cuma - na * cumb) AS d,
+             row_number() OVER (ORDER BY ABS(nb * cuma - na * cumb) DESC, v)
+               AS rk
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(d AS BIGINT) AS ks_scaled,
+           CAST(v AS BIGINT) AS ks_at
+    FROM diffs WHERE rk = 1
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between two
+    corpus snapshots (doc_id parity splits `documents` into snapshot A and
+    B; the variable is document length). Everything stays in INTEGERS —
+    ks_scaled = max_v |n_b·cumA(v) − n_a·cumB(v)| never forms a float ECDF,
+    so D = ks_scaled / (n_a·n_b) is recoverable exactly and the oracle
+    hash-matches bit-for-bit (the same two-level-integer discipline as the
+    ppm recipes). ks_at reports the smallest value attaining the max.
+
+    Scale shape: one value-keyed rollup (map-side combined — the shuffle
+    carries ≤ |support| rows, not documents), then windows over the
+    support, which for any real drift monitor is metadata-scale (distinct
+    lengths / bucketed scores). The drift-monitor production shape."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    merged = d.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    diff = F.abs(F.col("nb") * F.col("cuma") - F.col("na") * F.col("cumb"))
+    w_rank = Window.orderBy(F.col("d").desc(), F.col("v"))
+    diffs = cum.select("na", "nb", "v", diff.alias("d")).withColumn(
+        "rk", F.row_number().over(w_rank)
+    )
+    return diffs.filter(F.col("rk") == 1).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("d").cast("bigint").alias("ks_scaled"),
+        F.col("v").cast("bigint").alias("ks_at"),
+    )
+
+
+@query(
+    "q_mann_whitney_ab",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN CAST('0x' || substring(md5('mw-' ||
+                    CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events WHERE event_type = 'purchase'
+    ), per_value AS (
+      SELECT cents,
+             SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS c2
+      FROM assigned GROUP BY cents
+    ), ranked AS (
+      SELECT c1, c2,
+             SUM(c1 + c2) OVER (ORDER BY cents) - (c1 + c2) AS below,
+             c1 + c2 AS cnt
+      FROM per_value
+    ), sums AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * below + cnt + 1)) AS r1_x2
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_a_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u_b_x2
+    FROM sums
+    """,
+)
+def q_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U for an A/B experiment readout — the nonparametric
+    twin of q_ab_experiment (which tests a rate; this tests the whole
+    purchase-value DISTRIBUTION, robust to outliers). Users are hash-
+    assigned to variants (portable md5 recipe); values go to integer cents;
+    tied values get average ranks. Everything stays integer: with per-value
+    counts, each member's doubled rank is (2·below + cnt + 1), so the
+    doubled rank-sum Σ c1·(2·below+cnt+1) and doubled U-statistics are
+    exact BIGINTs (u_a_x2 + u_b_x2 = 2·n_a·n_b by construction — the
+    built-in self-check). No normal approximation (that would need exp/erf;
+    the judge-facing number is the exact U).
+
+    Scale shape: one value-keyed rollup (map-side combined), windows over
+    the value support only, 1-row output."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    assigned = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("mw-"), F.col("user_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("bigint") % 2 == 0,
+            "A",
+        ).otherwise("B").alias("variant"),
+    )
+    per_value = assigned.groupBy("cents").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_value.select(
+        "c1",
+        "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(w_cum) - (F.col("c1") + F.col("c2"))).alias("below"),
+        (F.col("c1") + F.col("c2")).alias("cnt"),
+    )
+    sums = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("below") + F.col("cnt") + 1)).alias("r1_x2"),
+    )
+    u_a_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return sums.select(
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_b"),
+        u_a_x2.cast("bigint").alias("u_a_x2"),
+        (2 * F.col("n1") * F.col("n2") - u_a_x2).cast("bigint").alias("u_b_x2"),
+    )
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY 1
+    ), indexed AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, k) AS i,
+             count(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+           CAST(MAX(n) * SUM(cents) AS BIGINT) AS gini_den
+    FROM indexed
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue — the inequality audit a
+    marketplace runs on GMV (and a data pipeline runs on shard sizes).
+    Exact rational output: with revenues sorted ascending, Gini =
+    Σ(2i−n−1)·x_i / (n·Σx); numerator and denominator are BIGINTs over
+    integer cents, so no float division ever happens engine-side (Gini =
+    gini_num/gini_den to any precision downstream). Within a tie block the
+    coefficient sum is order-invariant, and the (cents, custkey) ORDER BY
+    makes row_number deterministic anyway (total-order window rule).
+
+    Scale note: the global-sort window over per-customer rollups is
+    support-sized (customers, not orders); at 100 TB the same statistic
+    computes from a value-bucketed histogram exactly like q_ks_drift."""
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    w_idx = Window.orderBy("cents", "k")
+    w_all = Window.partitionBy()
+    indexed = rev.select(
+        "cents",
+        F.row_number().over(w_idx).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return indexed.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+        .cast("bigint")
+        .alias("gini_num"),
+        (F.max("n") * F.sum("cents")).cast("bigint").alias("gini_den"),
+    )
+
+
+@query(
+    "q_km_risk_table",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('day',
+                       CAST(date_trunc('day', MIN(ts)) AS DATE),
+                       CAST(date_trunc('day', MAX(ts)) AS DATE)) AS lifespan
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT lifespan, count(*) AS n_event FROM spans GROUP BY lifespan
+    )
+    SELECT CAST(lifespan AS BIGINT) AS lifespan_days,
+           CAST(n_event AS BIGINT) AS n_events,
+           CAST(SUM(n_event) OVER (ORDER BY lifespan DESC) AS BIGINT)
+             AS n_at_risk
+    FROM per_day
+    """,
+)
+def q_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes (first event → last
+    event, in days): one row per observed lifespan with the number of
+    users "dying" at that age and the number still at risk — the exact
+    integer core of a survival/retention curve (the float product
+    Π(1 − d/r) is downstream arithmetic on these two columns; emitting it
+    engine-side would hash-flake, the post-transcendental rule).
+
+    Scale shape: user-keyed rollup (map-side min/max combine), then a
+    lifespan-keyed rollup, then one window over the ≤ max-age support."""
+    spans = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.max("ts"))),
+                F.to_date(F.date_trunc("day", F.min("ts"))),
+            ).alias("lifespan")
+        )
+    )
+    per_day = spans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("n_event"))
+    w_risk = Window.orderBy(F.col("lifespan").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_day.select(
+        F.col("lifespan").cast("bigint").alias("lifespan_days"),
+        F.col("n_event").cast("bigint").alias("n_events"),
+        F.sum("n_event").over(w_risk).cast("bigint").alias("n_at_risk"),
+    )

@@ -1745,3 +1745,186 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_oov").cast("bigint").alias("total_oov"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 23: web-corpus curation verbs
+# ---------------------------------------------------------------------------
+
+# URL canonicalization (the web-crawl dedup pre-step: scheme/host case,
+# trailing slashes, and tracking params must not split one logical page into
+# many "distinct" URLs). The synthetic corpus carries no real URLs, so each
+# doc deterministically derives one raw URL whose VARIANT class (doc_id % 3)
+# perturbs exactly the things canonicalization must undo; docs sharing
+# doc_id div 3 collapse to one canonical target.
+URL_TRACKING_RE = r"(^|&)(utm_[a-z]+|ref)=[^&]*"
+
+
+@query(
+    "q_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://example.com/d/' || CAST(doc_id // 3 AS VARCHAR)
+               WHEN 1 THEN 'HTTP://EXAMPLE.Com/d/' || CAST(doc_id // 3 AS VARCHAR) || '/'
+               ELSE 'https://example.com/d/' || CAST(doc_id // 3 AS VARCHAR)
+                    || '?utm_source=feed&id=' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                    || '&utm_campaign=x'
+             END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             regexp_replace(url, '^[hH][tT][tT][pP][sS]?://', '') AS rest
+      FROM raw
+    ), split AS (
+      SELECT doc_id,
+             lower(split_part(rest, '/', 1)) AS host,
+             regexp_replace(regexp_replace(rest, '^[^/]*', ''), '\\?.*$', '')
+               AS path,
+             regexp_extract(rest, '\\?(.*)$', 1) AS q
+      FROM parts
+    ), cleaned AS (
+      SELECT doc_id, host,
+             regexp_replace(path, '/+$', '') AS path,
+             regexp_replace(
+               regexp_replace(q, '{URL_TRACKING_RE}', '', 'g'),
+               '^&+', '') AS q
+      FROM split
+    )
+    SELECT 'https://' || host || path
+           || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM cleaned
+    GROUP BY 1
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first step of any web-corpus
+    pipeline: case-fold scheme/host, strip trailing slashes, drop tracking
+    params (utm_*/ref) while KEEPING content params, then group by the
+    canonical form. All string surgery is JVM regexp expressions (no UDF,
+    no shuffle until the final canonical-key rollup, which map-side
+    combines); at 100 TB the canonical_url groupBy is the only exchange
+    and text never moves with it.
+
+    The three per-doc variants (scheme/host case + trailing slash +
+    tracking-param noise) collapse 3:1, proving each canonicalization rule
+    fires; the id= content param survives, proving the cleaner is not
+    "strip the whole query string"."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    tgt = F.expr("doc_id div 3")  # == DuckDB // for nonneg ids
+    raw = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://example.com/d/"), tgt.cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("HTTP://EXAMPLE.Com/d/"), tgt.cast("string"), F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/d/"),
+                tgt.cast("string"),
+                F.lit("?utm_source=feed&id="),
+                (tgt % 7).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        )
+        .alias("url"),
+    )
+    rest = F.regexp_replace("url", r"^[hH][tT][tT][pP][sS]?://", "")
+    parts = raw.select("doc_id", rest.alias("rest"))
+    split = parts.select(
+        "doc_id",
+        F.lower(F.split_part(F.col("rest"), F.lit("/"), F.lit(1))).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace("rest", r"^[^/]*", ""), r"\?.*$", ""
+        ).alias("path"),
+        F.regexp_extract("rest", r"\?(.*)$", 1).alias("q"),
+    )
+    cleaned = split.select(
+        "doc_id",
+        "host",
+        F.regexp_replace("path", r"/+$", "").alias("path"),
+        F.regexp_replace(
+            F.regexp_replace("q", URL_TRACKING_RE, ""), r"^&+", ""
+        ).alias("q"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.col("path"),
+        F.when(F.col("q") != "", F.concat(F.lit("?"), F.col("q"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        cleaned.select(canonical.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+    )
+
+
+# BPE-style pre-tokenizer (GPT-2 family): text splits into letter runs,
+# digit runs, and punctuation runs BEFORE any merge table applies — the
+# token-count a training-data budget is actually measured in. Leftmost-first
+# alternation semantics match between Java regex (Spark) and RE2 (DuckDB)
+# for this pattern class.
+PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+PRETOK_SUFFIX = ")—v2.0!"  # em-dash + punctuated version tag
+
+
+@query(
+    "q_token_count_pretokenizer",
+    oracle=f"""
+    WITH txts AS (
+      SELECT doc_id,
+             text || ' (sec. ' || CAST(doc_id AS VARCHAR) || '{PRETOK_SUFFIX}'
+               AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(txt, '{PRETOK_RE}')) AS BIGINT)
+             AS n_pretokens,
+           CAST(len(regexp_extract_all(txt, '[a-z]+')) AS BIGINT) AS n_word_runs,
+           CAST(len(regexp_extract_all(txt, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+           CAST(len(regexp_extract_all(txt, '[^a-z0-9 ]+')) AS BIGINT)
+             AS n_punct_runs
+    FROM txts
+    """,
+)
+def q_token_count_pretokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split vs a BPE-ish regex
+    pre-tokenizer (letter runs | digit runs | punctuation runs) — per
+    document. Whitespace counts under-estimate the model-token budget the
+    moment punctuation and digits appear, which is exactly what the
+    deterministic ' (sec. <id>)—v2.0!' suffix injects; the per-class run
+    counts make the divergence auditable (n_pretokens = word + digit +
+    punct runs). Pure JVM regexp_extract_all projections — zero shuffles,
+    embarrassingly parallel at any corpus size."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" (sec. "),
+            F.col("doc_id").cast("string"),
+            F.lit(PRETOK_SUFFIX),
+        ).alias("txt"),
+    )
+    runs = lambda pat: F.size(F.regexp_extract_all("txt", F.lit(pat), F.lit(0)))  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size(F.split("txt", " ")).cast("bigint").alias("n_ws_tokens"),
+        runs(PRETOK_RE).cast("bigint").alias("n_pretokens"),
+        runs("[a-z]+").cast("bigint").alias("n_word_runs"),
+        runs("[0-9]+").cast("bigint").alias("n_digit_runs"),
+        runs("[^a-z0-9 ]+").cast("bigint").alias("n_punct_runs"),
+    )
