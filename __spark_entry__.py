@@ -131,6 +131,10 @@ _PRIORITY = [
     # wave 25: exact distribution statistics (integer-exact KS drift,
     # Mann-Whitney A/B, rational Gini, Kaplan-Meier risk table)
     "q_ks_drift", "q_mann_whitney_ab", "q_gini_revenue", "q_km_risk_table",
+    # wave 26: SQL-semantics corners (null-safe equi-join, explode_outer
+    # row preservation, GROUP BY ALL SQL surface, calendar-spine zero-fill)
+    "q_join_null_safe", "q_explode_outer", "q_group_by_all",
+    "q_date_spine_fill",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

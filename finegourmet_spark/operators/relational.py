@@ -2865,3 +2865,131 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 26: SQL-semantics corners (null-safe equality, outer explode,
+# GROUP BY ALL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH o AS (
+      SELECT NULLIF(o_custkey % 25, 0) AS k FROM orders
+    ), n AS (
+      SELECT NULLIF(n_nationkey, 0) AS k, n_name FROM nation
+    )
+    SELECT o.k AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT n.n_name) AS BIGINT) AS n_dims
+    FROM o JOIN n ON o.k IS NOT DISTINCT FROM n.k
+    GROUP BY 1
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics MERGE
+    keys and late-arriving dimensions need when the natural key is
+    nullable. Orders bucket to a nullable key (NULLIF(custkey % 25, 0)),
+    nation provides a dimension with one NULL-keyed member; the NULL
+    group's presence in the output is the proof the join is null-safe
+    (a plain inner join would lose it).
+
+    Plan note: Spark compiles `<=>` to a hash join on a
+    coalesce-wrapped key (NULLs hash to one bucket) — still an equi-join,
+    NOT a cartesian fallback; the dimension side broadcasts."""
+    o = t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_custkey") % 25, F.lit(0)).alias("k")
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(0)).alias("nk"), "n_name"
+    )
+    joined = o.join(F.broadcast(n), o["k"].eqNullSafe(n["nk"]))
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("n_name").cast("bigint").alias("n_dims"),
+    )
+
+
+EXPLODE_OUTER_MIN_LEN = 8
+
+
+@query(
+    "q_explode_outer",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             w -> length(w) >= {EXPLODE_OUTER_MIN_LEN}))
+               AS n_long
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(greatest(n_long, 1) AS BIGINT) AS n_rows,
+           CAST(n_long AS BIGINT) AS n_long_words,
+           n_long = 0 AS kept_as_null
+    FROM per_doc
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: documents explode into their long words
+    (≥ 8 chars), but docs with NO long words must SURVIVE as one
+    NULL-token row — the outer-generator contract that a plain explode
+    violates (it silently drops the parent row, the classic
+    fan-out-then-lost-rows bug). The result re-aggregates per doc so the
+    oracle can pin the row-count arithmetic: n_rows = max(n_long, 1) and
+    the kept_as_null flag marks rows that exist ONLY because the
+    generator is outer.
+
+    Scale shape: generator + re-rollup on the parent key, map-side
+    combined; token text never shuffles (only counts)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split("text", " "),
+            lambda w: F.length(w) >= EXPLODE_OUTER_MIN_LEN,
+        ).alias("long_words"),
+    )
+    exploded = d.select(
+        "doc_id", F.explode_outer("long_words").alias("w")
+    )
+    return exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("w").cast("bigint").alias("n_long_words"),
+        (F.count("w") == 0).alias("kept_as_null"),
+    )
+
+
+@query(
+    "q_group_by_all",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL surface): the grouping keys are
+    inferred as every non-aggregate select item — the report-authoring
+    shorthand both engines now share, here run as literal SQL text on the
+    Spark side too (not DataFrame API) so the SQL surface itself is what's
+    verified. Decimal-cents revenue per (month, priority); plan is the
+    standard partial+final hash aggregate."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders_gba
+        GROUP BY ALL
+        """
+    )

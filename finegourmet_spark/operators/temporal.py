@@ -1402,3 +1402,85 @@ def q_business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(busdays) div count(*)").cast("bigint").alias("avg_busdays"),
         F.max("busdays").cast("bigint").alias("max_busdays"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 26: calendar-spine gap fill
+# ---------------------------------------------------------------------------
+
+# Sparse weekly series: only every 251st customer's orders, so the weekly
+# calendar genuinely has revenue gaps for the zero-fill to prove itself on.
+SPINE_CUST_MOD = 251
+
+
+@query(
+    "q_date_spine_fill",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders WHERE o_custkey % {SPINE_CUST_MOD} = 0
+    ), weekly AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM src GROUP BY wk
+    ), bounds AS (
+      SELECT MIN(wk) AS lo, MAX(wk) AS hi FROM weekly
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 7 DAY)) AS DATE) AS wk
+      FROM bounds
+    )
+    SELECT s.wk AS week_start,
+           COALESCE(w.n_orders, 0) AS n_orders,
+           COALESCE(w.rev_cents, 0) AS rev_cents,
+           w.wk IS NULL AS gap_filled
+    FROM spine s LEFT JOIN weekly w ON w.wk = s.wk
+    """,
+)
+def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill — the business-report contract that every
+    period appears even when it had zero activity (a bare GROUP BY
+    silently skips empty weeks and charts lie). A sparse weekly revenue
+    series (every 251st customer) joins against a generated continuous
+    week spine between its own min/max; missing weeks come back
+    zero-filled and flagged.
+
+    Scale shape: the spine generates from a 1-ROW min/max aggregate via
+    sequence+explode (never a driver-side loop, never a global
+    cross-product — the spine is |weeks| rows, metadata-scale), then one
+    broadcast-able left join back to the weekly rollup. Contrast with
+    q_timeseries_interpolate, which builds PER-KEY spines inside the
+    user partition; this is the single-series/global-report variant."""
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % SPINE_CUST_MOD == 0)
+        .select(
+            F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("wk"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    weekly = src.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    bounds = weekly.agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 7 days)")
+        ).alias("week_start")
+    )
+    return (
+        spine.join(
+            weekly, weekly["wk"] == spine["week_start"], "left"
+        ).select(
+            "week_start",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("rev_cents"), F.lit(0)).cast("bigint").alias("rev_cents"),
+            F.col("wk").isNull().alias("gap_filled"),
+        )
+    )
