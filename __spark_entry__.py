@@ -135,6 +135,9 @@ _PRIORITY = [
     # row preservation, GROUP BY ALL SQL surface, calendar-spine zero-fill)
     "q_join_null_safe", "q_explode_outer", "q_group_by_all",
     "q_date_spine_fill",
+    # wave 27: timezone-normalized reporting (IANA/DST-correct), as-of join
+    # with tolerance, power-of-two log histogram
+    "q_timezone_normalize", "q_join_asof_tolerance", "q_histogram_log_bins",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -1265,3 +1265,55 @@ def q_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_event").cast("bigint").alias("n_events"),
         F.sum("n_event").over(w_risk).cast("bigint").alias("n_at_risk"),
     )
+
+
+@query(
+    "q_histogram_log_bins",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bin_exp,
+           CAST(1 << (length(bin(c)) - 1) AS BIGINT) AS bin_lo,
+           CAST((1 << (length(bin(c)))) - 1 AS BIGINT) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS cents_total
+    FROM cents GROUP BY 1, 2, 3
+    """,
+)
+def q_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log₂) histogram of order values — the binning every
+    latency/size/cost distribution monitor uses (linear bins, the
+    q_seqlen_histogram shape, can't cover 6 orders of magnitude).
+    floor(log₂ x) computes EXACTLY as length(bin(x)) − 1 — binary-string
+    length, no floating log whose last-ulp could flip a power-of-two
+    boundary between engines (the transcendental ban). Bin bounds come
+    from integer shifts.
+
+    Scale shape: pure projections + one map-side-combined rollup over
+    ≤ 64 bins — metadata-scale output at any input size."""
+    cents = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    joined = cents.select(F.length(F.bin("c")).alias("blen"), "c").select(
+        (F.col("blen") - 1).cast("bigint").alias("bin_exp"),
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint), cast(blen - 1 as int)) as bigint)"
+        ).alias("bin_lo"),
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint), cast(blen as int)) - 1 as bigint)"
+        ).alias("bin_hi"),
+        "c",
+    )
+    return joined.groupBy("bin_exp", "bin_lo", "bin_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("c").cast("bigint").alias("cents_total"),
+    )

@@ -1484,3 +1484,166 @@ def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wk").isNull().alias("gap_filled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 27: timezone normalization + tolerance-bounded as-of join
+# ---------------------------------------------------------------------------
+
+TZ_REPORT_ZONES = ["America/New_York", "Europe/Paris", "Asia/Tokyo"]
+
+
+@query(
+    "q_timezone_normalize",
+    oracle=f"""
+    WITH zones AS (
+      SELECT unnest(['{TZ_REPORT_ZONES[0]}', '{TZ_REPORT_ZONES[1]}',
+                     '{TZ_REPORT_ZONES[2]}']) AS tz
+    ), localized AS (
+      SELECT z.tz,
+             CAST(timezone(z.tz, timezone('UTC', e.ts)) AS DATE) AS local_date,
+             extract(hour FROM timezone(z.tz, timezone('UTC', e.ts)))
+               AS local_hour
+      FROM events e CROSS JOIN zones z
+    )
+    SELECT tz, local_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(MIN(local_hour) AS BIGINT) AS first_hour,
+           CAST(MAX(local_hour) AS BIGINT) AS last_hour
+    FROM localized GROUP BY tz, local_date
+    """,
+)
+def q_timezone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-normalized daily report: UTC event instants rendered as
+    wall-clock time in each business timezone (IANA rules, DST-correct —
+    pytest pins the 2024 US spring-forward boundary on constructed
+    instants), then the canonical "daily counts by local date" rollup.
+    The per-zone date boundaries genuinely differ (Tokyo is +9, New York
+    −5: the same UTC instant lands on different local dates), which is
+    exactly the discrepancy this op exists to make auditable.
+
+    Cross-engine exactness: Spark `from_utc_timestamp(ts, tz)` ==
+    DuckDB `timezone(tz, timezone('UTC', ts))` — the double-application
+    form is deliberately session-TZ-independent on the DuckDB side (a bare
+    `::TIMESTAMPTZ` would inherit the harness session zone). Both engines
+    use the IANA tzdb.
+
+    Scale shape: a 3-row zone explode (bounded constant fan-out), pure
+    projections, one map-side-combined rollup keyed (tz, date)."""
+    zones = F.array(*[F.lit(z) for z in TZ_REPORT_ZONES])
+    localized = (
+        t(spark, sf_dir, "events")
+        .select("ts", F.explode(zones).alias("tz"))
+        .select(
+            "tz",
+            F.to_date(F.from_utc_timestamp("ts", F.col("tz"))).alias("local_date"),
+            F.hour(F.from_utc_timestamp("ts", F.col("tz"))).alias("local_hour"),
+        )
+    )
+    return localized.groupBy("tz", "local_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("local_hour").cast("bigint").alias("first_hour"),
+        F.max("local_hour").cast("bigint").alias("last_hour"),
+    )
+
+
+ASOF_TOL_HOURS = 2
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      FROM events
+    ), u AS (
+      SELECT user_id, ts, event_id AS probe_id,
+             NULL::BIGINT AS bld_id, NULL::DOUBLE AS bld_value, 1 AS is_probe
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, event_id, value, 0
+      FROM e WHERE event_type = 'purchase'
+    ), lv AS (
+      SELECT user_id, ts, probe_id, is_probe,
+             last_value(bld_id IGNORE NULLS) OVER w AS purchase_id,
+             last_value(bld_value IGNORE NULLS) OVER w AS purchase_value,
+             last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER w
+               AS purchase_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, is_probe, COALESCE(bld_id, probe_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tol AS (
+      SELECT probe_id AS click_id, user_id, ts AS click_ts,
+             CASE WHEN purchase_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(purchase_ts)
+                       <= CAST({ASOF_TOL_HOURS} AS BIGINT) * 3600 * 1000000
+                  THEN purchase_id END AS purchase_id,
+             CASE WHEN purchase_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(purchase_ts)
+                       <= CAST({ASOF_TOL_HOURS} AS BIGINT) * 3600 * 1000000
+                  THEN purchase_value END AS purchase_value
+      FROM lv WHERE is_probe = 1
+    )
+    SELECT click_id, user_id, click_ts, purchase_id, purchase_value,
+           purchase_id IS NOT NULL AS within_tolerance
+    FROM tol
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join WITH TOLERANCE (pandas merge_asof's `tolerance=` on the
+    q_join_asof machinery): each click matches the user's most recent
+    purchase only if it happened within the last {2} hours — stale matches
+    null out but the click row survives (left semantics). The tolerance
+    test compares INTEGER MICROSECONDS (unix_micros vs epoch_us, the
+    portable time-bound recipe) — never interval arithmetic.
+
+    Same single user-keyed exchange as q_join_asof; the tolerance is a
+    post-window projection, costing nothing extra."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    probe = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast("long").alias("bld_id"),
+        F.lit(None).cast("double").alias("bld_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    build = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col("event_id").alias("bld_id"),
+        F.col("value").alias("bld_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", F.coalesce("bld_id", "probe_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).select(
+        "user_id",
+        "ts",
+        "probe_id",
+        "is_probe",
+        F.last("bld_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.last("bld_value", ignorenulls=True).over(w).alias("purchase_value"),
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("purchase_ts"),
+    )
+    in_tol = F.col("purchase_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("purchase_ts")
+        <= ASOF_TOL_HOURS * 3600 * 1000000
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("probe_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(in_tol, F.col("purchase_id")).alias("purchase_id"),
+        F.when(in_tol, F.col("purchase_value")).alias("purchase_value"),
+        F.when(in_tol, F.col("purchase_id")).isNotNull().alias("within_tolerance"),
+    )
