@@ -138,6 +138,8 @@ _PRIORITY = [
     # wave 27: timezone-normalized reporting (IANA/DST-correct), as-of join
     # with tolerance, power-of-two log histogram
     "q_timezone_normalize", "q_join_asof_tolerance", "q_histogram_log_bins",
+    # wave 28: winsorized robust metrics, sync label-propagation communities
+    "q_winsorize", "q_graph_label_propagation",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -672,3 +672,86 @@ def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("subtree_cents"), F.asc("node"))
         .limit(BOM_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 28: label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round as SQL CTEs: each node adopts the most
+    frequent label among its neighbors, ties to the smallest label."""
+    return f"""
+    n{out} AS (
+      SELECT e.src AS node, l.label, count(*) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.dst
+      GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+                 AS rk
+        FROM n{out}
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')},
+    {_lpa_round_sql('l2', 'l3')}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(label AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+             AS community_size
+    FROM l3
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) on the part
+    co-occurrence graph: labels start as node ids; each of the
+    {LPA_ROUNDS} rounds every node adopts the MOST FREQUENT label among
+    its neighbors, ties to the smallest label — fully deterministic (the
+    async/random-order LPA variants are not reproducible across engines;
+    the sync+min-tie-break variant is, so the oracle unrolls the rounds
+    exactly like q_graph_pagerank's). Complements the min-label
+    connected-components machinery (q_dedup_clusters): CC finds
+    reachability classes, LPA finds densely-connected communities WITHIN
+    a component.
+
+    Scale shape per round: one edge⋈labels co-shuffle on the dst key +
+    one (node, label)-keyed map-side-combined count + one node-keyed
+    argmax window — edges never self-join, rounds are a fixed constant.
+    At 100 TB you'd checkpoint label frames between rounds exactly as
+    the CC loop does (dedup.py localCheckpoint rounds)."""
+    edges = _edges(spark, sf_dir)
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        neigh = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        counted = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    w_size = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+        F.count(F.lit(1)).over(w_size).cast("bigint").alias("community_size"),
+    )

@@ -1317,3 +1317,107 @@ def q_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("c").cast("bigint").alias("cents_total"),
     )
+
+
+# Winsorization percentile bounds, in percent (nearest-rank definition).
+WINSOR_LO_PCT, WINSOR_HI_PCT = 1, 99
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), ranked AS (
+      SELECT g, cents,
+             row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM c
+    ), bounds AS (
+      SELECT g,
+             MAX(n) AS n_rows,
+             MAX(CASE WHEN rn = (n * {WINSOR_LO_PCT} + 99) // 100
+                      THEN cents END) AS p_lo,
+             MAX(CASE WHEN rn = (n * {WINSOR_HI_PCT} + 99) // 100
+                      THEN cents END) AS p_hi
+      FROM ranked GROUP BY g
+    )
+    SELECT c.g AS l_returnflag,
+           CAST(MAX(b.n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(b.p_lo) AS BIGINT) AS p_lo_cents,
+           CAST(MAX(b.p_hi) AS BIGINT) AS p_hi_cents,
+           CAST(count(*) FILTER (WHERE c.cents < b.p_lo) AS BIGINT)
+             AS n_clipped_low,
+           CAST(count(*) FILTER (WHERE c.cents > b.p_hi) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(c.cents) AS BIGINT) AS raw_sum_cents,
+           CAST(SUM(least(greatest(c.cents, b.p_lo), b.p_hi)) AS BIGINT)
+             AS winsorized_sum_cents
+    FROM c JOIN bounds b ON c.g = b.g
+    GROUP BY 1
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust metrics: per group, clip values to the exact
+    [p1, p99] nearest-rank percentiles and report the clipped aggregate
+    beside the raw one — the outlier-robust revenue metric every
+    experimentation platform reports (a single whale order can't move it).
+    Percentile extraction is EXACT nearest-rank over integer cents:
+    rank ceil(p·n/100) via the (n·p + 99) div 100 identity — no float
+    percentile, no interpolation, engine-identical. The rank window
+    orders by cents alone: row_number among equal cents is engine-
+    arbitrary, but the VALUE at any rank inside a tie block is that tie's
+    cents — deterministic by construction (the only thing read is the
+    value, never the rank).
+
+    Scale shape: one per-group sort window (the price of exactness —
+    same posture as q_percentile_cont_exact), then the group-keyed
+    bounds broadcast back for the clip pass; two scans, zero driver
+    logic."""
+    c = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_rn = Window.partitionBy("g").orderBy("cents")
+    w_all = Window.partitionBy("g")
+    ranked = c.select(
+        "g",
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    bounds = ranked.groupBy("g").agg(
+        F.max("n").alias("n_rows"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {WINSOR_LO_PCT} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("p_lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {WINSOR_HI_PCT} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("p_hi"),
+    )
+    joined = c.join(F.broadcast(bounds), "g")
+    clipped = F.least(F.greatest(F.col("cents"), F.col("p_lo")), F.col("p_hi"))
+    return joined.groupBy(F.col("g").alias("l_returnflag")).agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.max("p_lo").cast("bigint").alias("p_lo_cents"),
+        F.max("p_hi").cast("bigint").alias("p_hi_cents"),
+        F.count(F.when(F.col("cents") < F.col("p_lo"), 1))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.count(F.when(F.col("cents") > F.col("p_hi"), 1))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum("cents").cast("bigint").alias("raw_sum_cents"),
+        F.sum(clipped).cast("bigint").alias("winsorized_sum_cents"),
+    )
