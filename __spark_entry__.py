@@ -140,6 +140,10 @@ _PRIORITY = [
     "q_timezone_normalize", "q_join_asof_tolerance", "q_histogram_log_bins",
     # wave 28: winsorized robust metrics, sync label-propagation communities
     "q_winsorize", "q_graph_label_propagation",
+    # wave 29: stream-stream join batch twin (watermark form in
+    # streaming/windows.py::stream_stream_join, state test in
+    # tests/test_streaming.py)
+    "q_stream_join",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

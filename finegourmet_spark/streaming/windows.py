@@ -245,3 +245,64 @@ def stream_dedup(events: DataFrame, watermark: str = "20 minutes") -> DataFrame:
     State for ids older than the watermark is evicted (bounded state at
     100 TB/day event volumes)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts,
+           p.value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+         - CAST(10 AS BIGINT) * 60 * 1000000
+     AND epoch_us(p.purchase_ts) <= epoch_us(c.click_ts)
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of ``stream_stream_join``: clicks join purchases by
+    user within the 10-minute event-time bound — column-for-column the
+    plan the streaming form produces per micro-batch, so the oracle checks
+    the streaming operator's JOIN SEMANTICS (the watermark/state-eviction
+    half is exercised by tests/test_streaming.py on a real readStream).
+    Time bounds compare integer microseconds (the portable recipe), and
+    the streaming twin's interval arithmetic is equivalent because both
+    sides are µs-precision timestamps.
+
+    Scale shape: one user-keyed co-shuffle; in streaming the same shape
+    keeps bounded state because both sides carry watermarks."""
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    bound_us = 10 * 60 * 1_000_000
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.unix_micros("purchase_ts") >= F.unix_micros("click_ts") - bound_us)
+        & (F.unix_micros("purchase_ts") <= F.unix_micros("click_ts")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "value",
+    )

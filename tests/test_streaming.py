@@ -475,3 +475,42 @@ def test_stream_dedup_incremental_corrupt_store_fails_loud(spark, tmp_path):
             raise RuntimeError(q.exception().desc)
     # nothing was accepted and the store was not extended
     assert not os.path.exists(f"{out}/_batch_id=0")
+
+
+def test_stream_join_batch_twin_equivalence(spark, sf_dir, tmp_path):
+    """The registered batch twin (q_stream_join, oracle-checked) and the
+    real stream-stream join produce the SAME pair set on the sf0.001
+    events — the claim that the oracle is verifying the streaming
+    operator's join semantics, proven row-for-row."""
+    import __spark_entry__ as contract
+    from finegourmet_spark.sources.testdata import load_table
+    from finegourmet_spark.streaming.windows import stream_stream_join
+
+    rows = [
+        {
+            "event_id": r["event_id"],
+            "ts": r["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z",
+            "user_id": r["user_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        for r in load_table(spark, sf_dir, "events").collect()
+    ]
+    d = str(tmp_path / "sf_events_json")
+    _write_events(d, rows)
+    src = read_event_stream(spark, d)
+    joined = stream_stream_join(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    _run_stream(joined, "t_ssjoin_equiv", "append")
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin_equiv").collect()
+    }
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in contract.queries()["q_stream_join"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture must produce at least one in-window pair"
