@@ -144,6 +144,8 @@ _PRIORITY = [
     # streaming/windows.py::stream_stream_join, state test in
     # tests/test_streaming.py)
     "q_stream_join",
+    # wave 30: deterministic grid DBSCAN (core/border/noise + CC clusters)
+    "q_geo_dbscan",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

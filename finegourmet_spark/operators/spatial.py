@@ -146,3 +146,168 @@ def q_geo_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_custkey", "s_suppkey", F.col("d2").cast("bigint").alias("d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 30: deterministic grid DBSCAN
+# ---------------------------------------------------------------------------
+
+from finegourmet_spark.operators.dedup import (  # noqa: E402
+    min_label_components,
+    unrolled_min_label_sql,
+)
+
+# Euclidean radius; EPS <= CELL so the 3x3 cell cover is exact. Chosen
+# SUBCRITICAL for the testdata densities (mean eps-degree ~1.8 at sf0.01):
+# continuum percolation says a supercritical eps (mean degree >> 4.5) fuses
+# everything into one giant cluster whose diameter exceeds CC_MAX_ROUNDS —
+# DBSCAN with such an eps is semantically meaningless anyway, and
+# min_label_components fails LOUD on it (swap in
+# connected_components_alternating for adversarial-diameter deployments,
+# exactly as q_dedup_clusters documents).
+DBSCAN_EPS = 80
+DBSCAN_EPS2 = DBSCAN_EPS * DBSCAN_EPS
+DBSCAN_MINPTS = 4  # neighborhood size INCLUDING the point itself
+
+# Shared CTE text: points, eps-neighbor pairs via the 3x3 grid join, core
+# set, and core-core edges — used at the oracle top level (for the
+# border/noise assembly) AND inside the unrolled-CC subquery's prelude.
+_DBSCAN_CTES = f"""pts AS (
+      SELECT c_custkey AS id,
+             {_coord_sql("gx", "c_custkey")} AS x,
+             {_coord_sql("gy", "c_custkey")} AS y
+      FROM customer
+    ), pe AS (
+      SELECT p.*, (x // {CELL}) + gx.i AS bx, (y // {CELL}) + gy.i AS by
+      FROM pts p
+      CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS i) gx
+      CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS i) gy
+    ), nbr AS (
+      SELECT a.id AS ida, pe.id AS idb
+      FROM pts a JOIN pe ON a.x // {CELL} = pe.bx AND a.y // {CELL} = pe.by
+      WHERE a.id <> pe.id
+        AND (a.x - pe.x) * (a.x - pe.x) + (a.y - pe.y) * (a.y - pe.y)
+            <= {DBSCAN_EPS2}
+    ), core AS (
+      SELECT ida AS id FROM nbr GROUP BY ida
+      HAVING count(*) + 1 >= {DBSCAN_MINPTS}
+    ), pairs AS (
+      SELECT n.ida AS da, n.idb AS db
+      FROM nbr n JOIN core ca ON n.ida = ca.id JOIN core cb ON n.idb = cb.id
+      WHERE n.ida < n.idb
+    )"""
+
+_DBSCAN_CC_SQL = unrolled_min_label_sql(
+    _DBSCAN_CTES, "SELECT id AS node FROM core", "id"
+)
+
+
+@query(
+    "q_geo_dbscan",
+    oracle=f"""
+    WITH {_DBSCAN_CTES},
+    cc AS (
+      SELECT id, cluster_id FROM ({_DBSCAN_CC_SQL})
+    ),
+    border AS (
+      SELECT n.ida AS id, MIN(cc.cluster_id) AS cluster_id
+      FROM nbr n JOIN cc ON n.idb = cc.id
+      WHERE n.ida NOT IN (SELECT id FROM core)
+      GROUP BY n.ida
+    )
+    SELECT p.id AS c_custkey,
+           CASE WHEN cc.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cc.cluster_id, b.cluster_id) AS BIGINT) AS cluster
+    FROM pts p
+    LEFT JOIN cc ON cc.id = p.id
+    LEFT JOIN border b ON b.id = p.id
+    """,
+)
+def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DBSCAN over the customer point cloud: core points
+    have ≥ {DBSCAN_MINPTS} points (self included) within Euclidean radius
+    {DBSCAN_EPS}; clusters are connected components of the core-core
+    eps-graph (labels = component min core id — the shared
+    ``min_label_components`` machinery); border points attach to the
+    SMALLEST cluster label among their core neighbors (textbook DBSCAN
+    leaves border assignment scan-order-dependent — the min rule makes it
+    a well-defined function of the data, hence oracle-checkable);
+    everything else is noise.
+
+    All distance arithmetic is squared-integer (no sqrt), the pair space
+    is grid-bounded (3×3 cell equi-join, never |P|², EPS ≤ CELL makes the
+    cover exact), and the CC loop is the same localCheckpoint min-label
+    propagation every cluster-resolution op here uses — at 100 TB this is
+    exactly how you'd DBSCAN a planet of points: grid-partition, local
+    neighbor counts, distributed CC on the (much smaller) core graph.
+
+    Oracle: identical grid join + the unrolled min-label rounds."""
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _coord_col("gx", F.col("c_custkey")).alias("x"),
+        _coord_col("gy", F.col("c_custkey")).alias("y"),
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    pe = (
+        pts.withColumn("i", off)
+        .withColumn("j", off)
+        .select(
+            F.col("id").alias("idb"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            (F.expr(f"x div {CELL}") + F.col("i")).alias("bx"),
+            (F.expr(f"y div {CELL}") + F.col("j")).alias("by"),
+        )
+    )
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    nbr = (
+        pts.join(
+            pe,
+            (F.expr(f"x div {CELL}") == F.col("bx"))
+            & (F.expr(f"y div {CELL}") == F.col("by")),
+        )
+        .filter((F.col("id") != F.col("idb")) & (d2 <= DBSCAN_EPS2))
+        .select(F.col("id").alias("ida"), "idb")
+        .localCheckpoint(eager=True)  # consumed by core, pairs, and border
+    )
+    core = (
+        nbr.groupBy("ida")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") + 1 >= DBSCAN_MINPTS)
+        .select(F.col("ida").alias("id"))
+    )
+    ca = core.select(F.col("id").alias("ca_id"))
+    cb = core.select(F.col("id").alias("cb_id"))
+    pairs = (
+        nbr.join(ca, nbr["ida"] == ca["ca_id"])
+        .join(cb, nbr["idb"] == cb["cb_id"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"))
+    )
+    cc = min_label_components(pairs, core, "id").select(
+        F.col("id").alias("cc_id"), "cluster_id"
+    )
+    border = (
+        nbr.join(cc, nbr["idb"] == cc["cc_id"])
+        .join(core.select(F.col("id").alias("c2")), nbr["ida"] == F.col("c2"), "left_anti")
+        .groupBy(F.col("ida").alias("b_id"))
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    return (
+        pts.join(cc, pts["id"] == cc["cc_id"], "left")
+        .join(border, pts["id"] == border["b_id"], "left")
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.when(F.col("cc_id").isNotNull(), "core")
+            .when(F.col("b_id").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("cluster_id"), F.col("b_cluster"))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )
