@@ -168,6 +168,14 @@ from finegourmet_spark.operators.dedup import (  # noqa: E402
 DBSCAN_EPS = 80
 DBSCAN_EPS2 = DBSCAN_EPS * DBSCAN_EPS
 DBSCAN_MINPTS = 4  # neighborhood size INCLUDING the point itself
+# Fixed key window: DBSCAN's eps only means something relative to point
+# density, so the audited point cloud is capped to a CONSTANT population
+# (c_custkey ≤ cap) — at sf0.01 the cap is not binding, at sf≥0.1 it pins
+# the density (and hence the subcritical regime above) instead of letting
+# it grow 100× and fuse the plane. A production run picks eps from a
+# sampled k-distance curve per dataset; a fixed (eps, window) pair is the
+# testable equivalent.
+DBSCAN_KEY_CAP = 2000
 
 # Shared CTE text: points, eps-neighbor pairs via the 3x3 grid join, core
 # set, and core-core edges — used at the oracle top level (for the
@@ -176,7 +184,7 @@ _DBSCAN_CTES = f"""pts AS (
       SELECT c_custkey AS id,
              {_coord_sql("gx", "c_custkey")} AS x,
              {_coord_sql("gy", "c_custkey")} AS y
-      FROM customer
+      FROM customer WHERE c_custkey <= {DBSCAN_KEY_CAP}
     ), pe AS (
       SELECT p.*, (x // {CELL}) + gx.i AS bx, (y // {CELL}) + gy.i AS by
       FROM pts p
@@ -244,10 +252,14 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor counts, distributed CC on the (much smaller) core graph.
 
     Oracle: identical grid join + the unrolled min-label rounds."""
-    pts = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        _coord_col("gx", F.col("c_custkey")).alias("x"),
-        _coord_col("gy", F.col("c_custkey")).alias("y"),
+    pts = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= DBSCAN_KEY_CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            _coord_col("gx", F.col("c_custkey")).alias("x"),
+            _coord_col("gy", F.col("c_custkey")).alias("y"),
+        )
     )
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     pe = (

@@ -11,6 +11,7 @@ import __spark_entry__  # noqa: F401
 from finegourmet_spark.operators.registry import QUERIES
 from finegourmet_spark.operators.spatial import (
     DBSCAN_EPS2,
+    DBSCAN_KEY_CAP,
     DBSCAN_MINPTS,
     GRID,
 )
@@ -25,6 +26,7 @@ def test_geo_dbscan_matches_bruteforce_python(spark, sf_dir):
     pts = {
         r["c_custkey"]: (_coord("gx", r["c_custkey"]), _coord("gy", r["c_custkey"]))
         for r in load_table(spark, sf_dir, "customer").collect()
+        if r["c_custkey"] <= DBSCAN_KEY_CAP
     }
     nbrs = defaultdict(set)
     ids = sorted(pts)
