@@ -146,6 +146,9 @@ _PRIORITY = [
     "q_stream_join",
     # wave 30: deterministic grid DBSCAN (core/border/noise + CC clusters)
     "q_geo_dbscan",
+    # wave 31: multiset set ops, Poisson bootstrap, diff-in-differences
+    "q_except_all", "q_intersect_all", "q_bootstrap_poisson",
+    "q_diff_in_diff",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

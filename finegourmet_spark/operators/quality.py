@@ -1421,3 +1421,201 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("raw_sum_cents"),
         F.sum(clipped).cast("bigint").alias("winsorized_sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 31: distributed uncertainty + causal readouts
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds scaled to the [0, 1e6) hash-uniform domain —
+# literal integers so BOTH engines evaluate the identical CASE ladder (no
+# per-row exp(); the ladder IS the distribution). P(w=k) = e⁻¹/k!.
+POISSON1_THRESHOLDS = [
+    367879,  # P(0)
+    735758,  # P(<=1)
+    919698,  # P(<=2)
+    981011,  # P(<=3)
+    996340,  # P(<=4)
+    999405,  # P(<=5)
+    999916,  # P(<=6)
+    999989,  # P(<=7)
+    999998,  # P(<=8); else w = 9 (cap)
+]
+BOOTSTRAP_B = 32  # number of Poisson resamples
+
+
+def _poisson_case(u_expr: str) -> str:
+    """SQL CASE ladder mapping a [0,1e6) uniform to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS)
+    )
+    return f"CASE {arms} ELSE 9 END"
+
+
+@query(
+    "q_bootstrap_poisson",
+    oracle=f"""
+    WITH draws AS (
+      SELECT b.b,
+             {_poisson_case(
+                 "CAST('0x' || substring(md5('pb-' || CAST(b.b AS VARCHAR)"
+                 " || '-' || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)"
+                 " % 1000000"
+             )} AS w,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(1, {BOOTSTRAP_B})) AS b) b
+    )
+    SELECT CAST(b AS BIGINT) AS resample,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+    FROM draws GROUP BY b
+    """,
+)
+def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — THE distributed bootstrap (each row draws an
+    independent Poisson(1) replication count per resample, so resamples
+    stream with no global n and no multinomial coordination; the classic
+    large-scale estimator-uncertainty recipe). Draws are deterministic:
+    md5(resample, orderkey) → uniform in [0,1e6) → literal CDF ladder,
+    so both engines replicate identically and the {BOOTSTRAP_B} resample
+    sums are exact BIGINTs. Downstream arithmetic (CI from the spread of
+    sum_cents/n_eff) is a {BOOTSTRAP_B}-row problem.
+
+    Scale shape: a bounded ×B explode (constant fan-out, map-side), one
+    resample-keyed combine — B partial sums per partition, never a data
+    copy per resample."""
+    b = F.explode(F.sequence(F.lit(1), F.lit(BOOTSTRAP_B))).alias("b")
+    d = t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderkey"),
+    ).select("cents", "o_orderkey", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pb-"),
+                        F.col("b").cast("string"),
+                        F.lit("-"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = F.lit(9)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
+    return (
+        d.select("b", w.alias("w"), "cents")
+        .groupBy(F.col("b").cast("bigint").alias("resample"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+DID_CUTOFF = "1996-01-01"  # pre/post boundary
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST('0x' || substring(md5('did-' || CAST(o_custkey AS VARCHAR)),
+                                    1, 8) AS BIGINT) % 2 = 0 AS is_treat,
+             o_orderdate >= TIMESTAMP '{DID_CUTOFF}' AS is_post,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), agg AS (
+      SELECT is_treat, is_post,
+             count(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM cells GROUP BY 1, 2
+    ), means AS (
+      SELECT
+        MAX(CASE WHEN is_treat AND is_post THEN s // n END) AS t_post,
+        MAX(CASE WHEN is_treat AND NOT is_post THEN s // n END) AS t_pre,
+        MAX(CASE WHEN NOT is_treat AND is_post THEN s // n END) AS c_post,
+        MAX(CASE WHEN NOT is_treat AND NOT is_post THEN s // n END) AS c_pre,
+        CAST(SUM(n) AS BIGINT) AS n_orders
+      FROM agg
+    )
+    SELECT CAST(t_pre AS BIGINT) AS treat_pre_avg_cents,
+           CAST(t_post AS BIGINT) AS treat_post_avg_cents,
+           CAST(c_pre AS BIGINT) AS control_pre_avg_cents,
+           CAST(c_post AS BIGINT) AS control_post_avg_cents,
+           CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents,
+           n_orders
+    FROM means
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: customers hash-split into
+    treatment/control (portable md5 assignment, the q_ab_experiment
+    recipe), order dates split pre/post at {DID_CUTOFF}; the DiD estimate
+    is (ΔTreat − ΔControl) of the four cell means — the workhorse causal
+    design for rollouts without randomization. Cell means are
+    floor-divided integer cents (nonneg ⇒ Spark div == DuckDB //), so the
+    estimate is exact; a production readout wraps it with
+    q_bootstrap_poisson for the CI.
+
+    Scale shape: one map-side-combined 4-cell aggregate, 1-row output."""
+    cells = t(spark, sf_dir, "orders").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("did-"), F.col("o_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0
+        ).alias("is_treat"),
+        (F.col("o_orderdate") >= F.lit(DID_CUTOFF).cast("timestamp")).alias(
+            "is_post"
+        ),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    agg = cells.groupBy("is_treat", "is_post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    cell = lambda tr, po: F.max(  # noqa: E731
+        F.when(
+            (F.col("is_treat") == tr) & (F.col("is_post") == po),
+            F.expr("s div n"),
+        )
+    )
+    means = agg.agg(
+        cell(True, False).alias("t_pre"),
+        cell(True, True).alias("t_post"),
+        cell(False, False).alias("c_pre"),
+        cell(False, True).alias("c_post"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    return means.select(
+        F.col("t_pre").cast("bigint").alias("treat_pre_avg_cents"),
+        F.col("t_post").cast("bigint").alias("treat_post_avg_cents"),
+        F.col("c_pre").cast("bigint").alias("control_pre_avg_cents"),
+        F.col("c_post").cast("bigint").alias("control_post_avg_cents"),
+        ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")))
+        .cast("bigint")
+        .alias("did_cents"),
+        "n_orders",
+    )

@@ -2993,3 +2993,78 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 31: multiset set-operation semantics (ALL variants)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    WITH diff AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT custkey, CAST(count(*) AS BIGINT) AS surviving_copies
+    FROM diff GROUP BY custkey
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — MULTISET difference: each right-side occurrence cancels
+    ONE left-side occurrence, survivors keep their remaining multiplicity
+    (the distinct EXCEPT of q_except would collapse them — a genuinely
+    different answer whenever duplicates carry meaning, e.g. per-order
+    rows). Result re-aggregated to (key, surviving_copies) so the
+    multiplicity arithmetic itself is what the oracle pins:
+    survivors = max(left_count − right_count, 0) per key.
+
+    Plan note: Spark compiles exceptAll to a count-aggregate + generator
+    (replicate rows sum(left)−sum(right) times) — one key-shuffle, no
+    join explosion; semantically the greatest-lower-bound on bag algebra
+    both engines share."""
+    o = t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        left.exceptAll(right)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("surviving_copies"))
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    WITH common AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT custkey, CAST(count(*) AS BIGINT) AS common_copies
+    FROM common GROUP BY custkey
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: per key the result carries
+    min(left_count, right_count) copies (the bag greatest-lower-bound);
+    the distinct INTERSECT collapses to one. Same count-aggregate plan
+    shape as q_except_all."""
+    o = t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        left.intersectAll(right)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_copies"))
+    )
