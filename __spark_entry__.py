@@ -149,6 +149,8 @@ _PRIORITY = [
     # wave 31: multiset set ops, Poisson bootstrap, diff-in-differences
     "q_except_all", "q_intersect_all", "q_bootstrap_poisson",
     "q_diff_in_diff",
+    # wave 32: set-completion funnel, embedding-table quality audit
+    "q_funnel_unordered", "q_embedding_quality_audit",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -1604,3 +1604,71 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tight_runs"),
         F.max(F.length("seq")).cast("bigint").alias("max_seq_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 32: set-completion (unordered) funnel
+# ---------------------------------------------------------------------------
+
+UFUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "q_funnel_unordered",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = '{UFUNNEL_STEPS[0]}' THEN 1 ELSE 0 END)
+               AS has_view,
+             MAX(CASE WHEN event_type = '{UFUNNEL_STEPS[1]}' THEN 1 ELSE 0 END)
+               AS has_click,
+             MAX(CASE WHEN event_type = '{UFUNNEL_STEPS[2]}' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(has_view) AS BIGINT) AS n_view,
+           CAST(SUM(has_view * has_click) AS BIGINT) AS n_view_click,
+           CAST(SUM(has_view * has_click * has_purchase) AS BIGINT)
+             AS n_all_three,
+           CAST(SUM(CASE WHEN has_purchase = 1 AND has_view = 0 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_purchase_no_view
+    FROM per_user
+    """,
+)
+def q_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-COMPLETION funnel: which users performed each step set in ANY
+    order — the companion to the ordered funnel (q_funnel requires
+    view→click→purchase as a subsequence; this only requires membership).
+    The gap between the two IS the insight (how many buyers never saw the
+    ordered path), surfaced here directly as n_purchase_no_view. One
+    user-keyed map-side-combined rollup of boolean flags, then a 1-row
+    reduction — no sequence materialization, no windows, the cheapest
+    funnel money can buy at 100 TB."""
+    flags = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == s, 1).otherwise(0)
+                ).alias(f"has_{s}")
+                for s in UFUNNEL_STEPS
+            ]
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("has_view").cast("bigint").alias("n_view"),
+        F.sum(F.col("has_view") * F.col("has_click"))
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(F.col("has_view") * F.col("has_click") * F.col("has_purchase"))
+        .cast("bigint")
+        .alias("n_all_three"),
+        F.sum(
+            F.when((F.col("has_purchase") == 1) & (F.col("has_view") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_purchase_no_view"),
+    )

@@ -737,3 +737,57 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 32: embedding-table quality audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_quality_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT label,
+             len(embedding) AS dim,
+             {_sql_dot('embedding', 'embedding')} AS norm2
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE dim <> {DIM}) AS BIGINT)
+             AS n_dim_anomalies,
+           CAST(count(*) FILTER (WHERE norm2 = 0) AS BIGINT) AS n_zero_vecs,
+           CAST(SUM(CAST(floor(norm2 * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_norm2_ppm,
+           CAST(MIN(CAST(floor(norm2 * 1000000) AS BIGINT)) AS BIGINT)
+             AS min_norm2_ppm
+    FROM v GROUP BY label
+    """,
+)
+def q_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit — the pre-flight every vector corpus
+    needs before ANN/dedup runs trust it: per label, vector count,
+    wrong-dimension count, zero-vector count (cosine is undefined on
+    them — the exact rows q_dedup_minhash's sentinel guard exists for),
+    and the norm² mass in floor-ppm integers. norm² is the shared
+    sequential-fold dot (identical expression tree both engines →
+    bit-identical doubles), floored PER VECTOR before summing — the
+    two-level-floor rule, so the group sums hash-match exactly.
+
+    Scale shape: pure projections + one label-keyed map-side-combined
+    rollup; the 64-element fold is scan-side arithmetic."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    norm2_ppm = F.floor(F.col("norm2") * 1000000).cast("bigint")
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count(F.when(F.col("dim") != DIM, 1)).cast("bigint").alias("n_dim_anomalies"),
+        F.count(F.when(F.col("norm2") == 0, 1)).cast("bigint").alias("n_zero_vecs"),
+        F.sum(norm2_ppm).cast("bigint").alias("sum_norm2_ppm"),
+        F.min(norm2_ppm).cast("bigint").alias("min_norm2_ppm"),
+    )
