@@ -479,9 +479,17 @@ def minhash_banded(docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_B
         )
         for b in range(n_bands)
     ]
-    return sig.select(
+    banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Both consumers SELF-JOIN this frame, and Spark's ReuseExchange does
+    # not fire across the band/bucket join's two sides here (verified on
+    # the executed AQE plan: 2 full scans, 0 ReusedExchange) — without a
+    # materialization barrier the whole shingle-explode + n_hashes
+    # signature pass runs twice. The banded triples are tiny (docs ×
+    # n_bands longs — the text never reaches them), so an eager
+    # localCheckpoint halves the expensive linear pass at every scale.
+    return banded.localCheckpoint(eager=True)
 
 
 @query("q_dedup_minhash")  # rows-only: hash seeds are engine-specific
