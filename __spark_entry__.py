@@ -151,6 +151,9 @@ _PRIORITY = [
     "q_diff_in_diff",
     # wave 32: set-completion funnel, embedding-table quality audit
     "q_funnel_unordered", "q_embedding_quality_audit",
+    # wave 33: CDC-apply on an SCD2 dimension (consumes q_snapshot_diff_cdc,
+    # feeds q_scd2_lookup)
+    "q_scd2_apply_cdc",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

@@ -3068,3 +3068,98 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 33: applying a CDC batch to an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+SCD2_APPLY_EFF = "2024-06-01"  # effective date of the CDC batch
+SCD2_APPLY_T0 = "2024-01-01"  # initial load date
+
+
+@query(
+    "q_scd2_apply_cdc",
+    oracle=f"""
+    WITH dim0 AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             DATE '{SCD2_APPLY_T0}' AS valid_from
+      FROM customer
+    ), cdc AS (
+      SELECT k, 'U' AS op, 'WEB' AS new_seg FROM dim0 WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, 'D', NULL FROM dim0 WHERE k % 13 = 0 AND k % 7 <> 0
+      UNION ALL
+      SELECT k + 1000000, 'I', 'NEW'
+      FROM dim0 WHERE k % 11 = 0
+    ), closed AS (
+      SELECT d.k, d.seg, d.valid_from,
+             CASE WHEN c.op IN ('U', 'D') THEN DATE '{SCD2_APPLY_EFF}'
+                  END AS valid_to
+      FROM dim0 d LEFT JOIN cdc c ON c.k = d.k AND c.op <> 'I'
+    ), opened AS (
+      SELECT k, new_seg AS seg, DATE '{SCD2_APPLY_EFF}' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM cdc WHERE op IN ('U', 'I')
+    )
+    SELECT k AS custkey, seg, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
+    """,
+)
+def q_scd2_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a CDC batch to an SCD2 dimension — the production maintenance
+    verb that consumes what q_snapshot_diff_cdc produces: updates CLOSE the
+    current version (valid_to = effective date) and OPEN a new one,
+    deletes close without reopening (the key's history survives — SCD2
+    never physically forgets), inserts open fresh versions. The result is
+    the complete post-batch version table; q_scd2_lookup then reads it
+    point-in-time. Derived-key inserts (k + 1e6) keep the synthetic batch
+    disjoint from existing keys by construction.
+
+    Plan: one dim⋈cdc key join (CDC batches are small → broadcast) + a
+    union of two projections — exactly the plan a Delta MERGE with
+    whenMatched/whenNotMatched clauses compiles to for SCD2, expressed on
+    plain DataFrames."""
+    dim0 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(SCD2_APPLY_T0).cast("date").alias("valid_from"),
+    )
+    upd = dim0.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("U").alias("op"), F.lit("WEB").alias("new_seg")
+    )
+    dels = dim0.filter((F.col("k") % 13 == 0) & (F.col("k") % 7 != 0)).select(
+        "k", F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_seg")
+    )
+    ins = dim0.filter(F.col("k") % 11 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit("NEW").alias("new_seg"),
+    )
+    cdc = upd.unionByName(dels).unionByName(ins)
+    closed = dim0.join(
+        F.broadcast(cdc.filter(F.col("op") != "I")).withColumnRenamed("k", "ck"),
+        F.col("k") == F.col("ck"),
+        "left",
+    ).select(
+        "k",
+        "seg",
+        "valid_from",
+        F.when(
+            F.col("op").isin("U", "D"), F.lit(SCD2_APPLY_EFF).cast("date")
+        ).alias("valid_to"),
+    )
+    opened = cdc.filter(F.col("op").isin("U", "I")).select(
+        "k",
+        F.col("new_seg").alias("seg"),
+        F.lit(SCD2_APPLY_EFF).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return closed.unionByName(opened).select(
+        F.col("k").alias("custkey"),
+        "seg",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
