@@ -1,0 +1,56 @@
+"""Round-4 full-registry sf1 (10x t2 scale) sweep: oracle compare where
+feasible, Spark-side rows-only for the documented pair-bound carve-outs
+(DuckDB's unbucketed pair/wedge oracles OOM or explode at sf1 — the Spark
+side is the scalable plan, which is the point)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import __spark_entry__ as contract
+from finegourmet_spark.session import get_spark
+from tests.oracle_harness import compare
+
+SF1 = "/root/repo/.scratch/sf1"
+
+# DuckDB-infeasible at sf1 (pair/wedge-bound oracles; documented r3+r4):
+SPARK_SIDE_ONLY = {
+    "q_graph_jaccard_neighbors", "q_setsim_join_prefix",
+    "q_containment_dedup", "q_item_item_cf", "q_dedup_clusters",
+    "q_dedup_semantic_clusters", "q_fuzzy_join_levenshtein",
+    "q_graph_triangles", "q_golden_record", "q_dedup_chunks",
+    "q_dedup_ngram_jaccard", "q_dedup_embedding",
+}
+
+
+def main() -> int:
+    spark = get_spark(app_name="sf1_sweep")
+    q = contract.queries()
+    o = contract.oracle_sql()
+    t_start = time.time()
+    fails = []
+    for i, name in enumerate(sorted(q)):
+        t0 = time.time()
+        try:
+            df = q[name](spark, SF1)
+            if name in o and name not in SPARK_SIDE_ONLY:
+                problems = compare(df, o[name], SF1)
+                status = "OK" if not problems else f"FAIL {problems[0][:200]}"
+            else:
+                n = df.count()
+                status = f"rows-only {n}"
+        except Exception as ex:  # noqa: BLE001
+            status = f"ERROR {str(ex)[:200]}"
+        if status.startswith(("FAIL", "ERROR")):
+            fails.append(name)
+        print(f"[{i + 1}/{len(q)}] {name}: {status} ({time.time() - t0:.1f}s)",
+              flush=True)
+    print(f"DONE {len(q) - len(fails)}/{len(q)} ok in "
+          f"{(time.time() - t_start) / 60:.1f} min; failures: {fails}",
+          flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
