@@ -24,13 +24,32 @@ SPARK_SIDE_ONLY = {
 }
 
 
+# Checkpoint blocks (minhash/CC/DBSCAN localCheckpoints) accumulate in the
+# block manager across queries; ~80 queries into a single sf1 session the
+# driver-executor heap OOMs. Restart the session every SESSION_CHUNK
+# queries to bound the accumulation — the ~15 s JVM restart is noise
+# against the sweep wall time.
+SESSION_CHUNK = 25
+
+
 def main() -> int:
-    spark = get_spark(app_name="sf1_sweep")
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     q = contract.queries()
     o = contract.oracle_sql()
+    names = sorted(q)
+    start_at = sys.argv[1] if len(sys.argv) > 1 else None
+    if start_at:
+        names = [n for n in names if n >= start_at]
     t_start = time.time()
     fails = []
-    for i, name in enumerate(sorted(q)):
+    spark = None
+    for i, name in enumerate(names):
+        if i % SESSION_CHUNK == 0:
+            if spark is not None:
+                spark.stop()
+            spark = get_spark(app_name="sf1_sweep")
         t0 = time.time()
         try:
             df = q[name](spark, SF1)
@@ -44,9 +63,9 @@ def main() -> int:
             status = f"ERROR {str(ex)[:200]}"
         if status.startswith(("FAIL", "ERROR")):
             fails.append(name)
-        print(f"[{i + 1}/{len(q)}] {name}: {status} ({time.time() - t0:.1f}s)",
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
               flush=True)
-    print(f"DONE {len(q) - len(fails)}/{len(q)} ok in "
+    print(f"DONE {len(names) - len(fails)}/{len(names)} ok in "
           f"{(time.time() - t_start) / 60:.1f} min; failures: {fails}",
           flush=True)
     return 1 if fails else 0
