@@ -154,6 +154,9 @@ _PRIORITY = [
     # wave 33: CDC-apply on an SCD2 dimension (consumes q_snapshot_diff_cdc,
     # feeds q_scd2_lookup)
     "q_scd2_apply_cdc",
+    # wave 34: exact grouped multi-percentile report (one sort window for
+    # the whole percentile vector)
+    "q_grouped_percentiles",
     # r2-green streaming twins (displaced re-confirmations)
     "q_stream_session", "q_stream_watermark_dedup",
     # rows-only by design, r2 rows-only evidence recorded (VERDICT item 3)

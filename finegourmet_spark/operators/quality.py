@@ -1619,3 +1619,66 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("did_cents"),
         "n_orders",
     )
+
+
+# Nearest-rank percentiles for the grouped report (percent values).
+REPORT_PCTS = [25, 50, 75, 90, 99]
+
+
+@query(
+    "q_grouped_percentiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), ranked AS (
+      SELECT g, cents,
+             row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM c
+    )
+    SELECT g AS event_type,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           {", ".join(
+               f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 "
+               f"THEN cents END) AS BIGINT) AS p{p}_cents"
+               for p in REPORT_PCTS
+           )}
+    FROM ranked GROUP BY g
+    """,
+)
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-percentile report (p25/p50/p75/p90/p99 per event
+    type) — the latency/value-distribution dashboard row, EXACT: all five
+    percentiles come from ONE per-group sort window via the nearest-rank
+    identity rank = (n·p + 99) div 100 (the q_winsorize machinery widened
+    to a percentile vector; one window + one rollup regardless of how
+    many percentiles the report wants — never one sort per percentile).
+    Integer cents, engine-identical."""
+    c = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    w_rn = Window.partitionBy("g").orderBy("cents")
+    w_all = Window.partitionBy("g")
+    ranked = c.select(
+        "g",
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ranked.groupBy(F.col("g").alias("event_type")).agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                    F.col("cents"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{p}_cents")
+            for p in REPORT_PCTS
+        ],
+    )

@@ -91,3 +91,19 @@ def test_histogram_log_bins_matches_python_model(spark, sf_dir):
         assert r["bin_hi"] == (1 << (r["bin_exp"] + 1)) - 1
         got[r["bin_exp"]] = (r["n_orders"], r["cents_total"])
     assert got == {k: tuple(v) for k, v in bins.items()}
+
+
+def test_dst_fall_back_is_iana_correct(spark):
+    """Pin the 2024-11-03 US fall-back on constructed instants: the 1-2 AM
+    wall-clock hour occurs twice in America/New_York (5:30 UTC = 1:30 EDT,
+    6:30 UTC = 1:30 EST)."""
+    row = spark.sql(
+        """
+        SELECT from_utc_timestamp(TIMESTAMP '2024-11-03 05:30:00',
+                                  'America/New_York') AS first_pass,
+               from_utc_timestamp(TIMESTAMP '2024-11-03 06:30:00',
+                                  'America/New_York') AS second_pass
+        """
+    ).collect()[0]
+    assert row["first_pass"].hour == 1 and row["second_pass"].hour == 1
+    assert row["first_pass"] == row["second_pass"]  # same wall clock, twice

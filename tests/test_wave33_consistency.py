@@ -40,3 +40,31 @@ def test_scd2_apply_cdc_matches_python_model(spark, sf_dir):
     assert len(current) == len(set(current))
     deleted = {k for k in base if k % 13 == 0 and k % 7 != 0}
     assert deleted.isdisjoint(set(current))
+
+
+def test_grouped_percentiles_match_python_model(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from finegourmet_spark.operators.quality import REPORT_PCTS
+
+    groups = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        groups[r["event_type"]].append(
+            int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        )
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["q_grouped_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(groups)
+    for g, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        r = rows[g]
+        assert r["n_rows"] == n
+        for p in REPORT_PCTS:
+            assert r[f"p{p}_cents"] == xs[-(-n * p // 100) - 1]
+        # monotone percentile vector
+        vec = [r[f"p{p}_cents"] for p in REPORT_PCTS]
+        assert vec == sorted(vec)
