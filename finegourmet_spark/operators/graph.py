@@ -705,14 +705,12 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     oracle=f"""
     WITH {_EDGE_SQL},
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-    {_lpa_round_sql('l0', 'l1')},
-    {_lpa_round_sql('l1', 'l2')},
-    {_lpa_round_sql('l2', 'l3')}
+    {",".join(_lpa_round_sql(f"l{k - 1}", f"l{k}") for k in range(1, LPA_ROUNDS + 1))}
     SELECT CAST(node AS BIGINT) AS node,
            CAST(label AS BIGINT) AS community,
            CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
              AS community_size
-    FROM l3
+    FROM l{LPA_ROUNDS}
     """,
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:

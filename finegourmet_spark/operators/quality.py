@@ -1088,7 +1088,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN CAST('0x' || substring(md5('mw-' ||
                     CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
                   THEN 'A' ELSE 'B' END AS variant
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), per_value AS (
       SELECT cents,
              SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS c1,
@@ -1123,9 +1123,16 @@ def q_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in self-check). No normal approximation (that would need exp/erf;
     the judge-facing number is the exact U).
 
+    NULL purchase values are filtered on BOTH sides before ranking: Spark
+    windows sort NULL cents first ascending while DuckDB sorts NULLs last,
+    so an unfiltered NULL would silently shift every rank between the two
+    engines (r4 ADVICE; latent — fixtures carry no NULL purchase values).
+
     Scale shape: one value-keyed rollup (map-side combined), windows over
     the value support only, 1-row output."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     assigned = ev.select(
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
         F.when(
@@ -1176,8 +1183,8 @@ def q_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
-           CAST(MAX(n) * SUM(cents) AS BIGINT) AS gini_den
+           CAST(SUM((2 * i - n - 1) * cents) AS DECIMAL(38,0)) AS gini_num,
+           CAST(MAX(n) * SUM(cents) AS DECIMAL(38,0)) AS gini_den
     FROM indexed
     """,
 )
@@ -1190,6 +1197,12 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini_num/gini_den to any precision downstream). Within a tie block the
     coefficient sum is order-invariant, and the (cents, custkey) ORDER BY
     makes row_number deterministic anyway (total-order window rule).
+
+    gini_num/gini_den are DECIMAL(38,0), not BIGINT: n·Σcents reaches
+    ~2.25e18 at sf1 — within 4× of int64 max — so at sf10 a BIGINT
+    denominator silently wraps under ANSI-off Spark while DuckDB's HUGEINT
+    throws (r4 ADVICE). |num| ≤ den by construction, so both columns get
+    the 128-bit treatment; per-term products stay comfortably in int64.
 
     Scale note: the global-sort window over per-customer rollups is
     support-sized (customers, not orders); at 100 TB the same statistic
@@ -1210,10 +1223,12 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return indexed.agg(
         F.max("n").cast("bigint").alias("n_customers"),
-        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
-        .cast("bigint")
+        F.sum(((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
         .alias("gini_num"),
-        (F.max("n") * F.sum("cents")).cast("bigint").alias("gini_den"),
+        (F.max("n").cast("decimal(38,0)") * F.sum(F.col("cents").cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("gini_den"),
     )
 
 
@@ -1276,8 +1291,8 @@ def q_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_totalprice > 0
     )
     SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bin_exp,
-           CAST(1 << (length(bin(c)) - 1) AS BIGINT) AS bin_lo,
-           CAST((1 << (length(bin(c)))) - 1 AS BIGINT) AS bin_hi,
+           CAST(CAST(1 AS BIGINT) << (length(bin(c)) - 1) AS BIGINT) AS bin_lo,
+           CAST((CAST(1 AS BIGINT) << (length(bin(c)))) - 1 AS BIGINT) AS bin_hi,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(SUM(c) AS BIGINT) AS cents_total
     FROM cents GROUP BY 1, 2, 3
@@ -1632,6 +1647,7 @@ REPORT_PCTS = [25, 50, 75, 90, 99]
       SELECT event_type AS g,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
+      WHERE value IS NOT NULL
     ), ranked AS (
       SELECT g, cents,
              row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
@@ -1655,8 +1671,11 @@ def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity rank = (n·p + 99) div 100 (the q_winsorize machinery widened
     to a percentile vector; one window + one rollup regardless of how
     many percentiles the report wants — never one sort per percentile).
-    Integer cents, engine-identical."""
-    c = t(spark, sf_dir, "events").select(
+    Integer cents, engine-identical. NULL values are filtered on BOTH
+    sides before the rank window — Spark sorts NULLs first ascending,
+    DuckDB last, so an unfiltered NULL would shift every rank (r4
+    ADVICE; latent, fixtures carry no NULL values)."""
+    c = t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         F.col("event_type").alias("g"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
     )

@@ -1314,7 +1314,8 @@ POSTINGS_HEAD = 20  # posting-list head length kept in the index result
       FROM documents
     )
     SELECT term, CAST(count(*) AS BIGINT) AS df,
-           (list(doc_id ORDER BY doc_id))[1:{POSTINGS_HEAD}] AS postings
+           array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTINGS_HEAD}], ',')
+             AS postings
     FROM td GROUP BY term
     """,
 )
@@ -1332,7 +1333,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     not: the q_string_agg lesson; per-group memory is bounded by df, and
     the head cap bounds the RESULT row width). Hot terms are the skew case:
     banded re-aggregation (the q_agg_salted pattern) is the knob when a
-    stopword's df concentrates one reducer."""
+    stopword's df concentrates one reducer.
+
+    Result contract: the posting head is serialized to a comma-joined
+    STRING (not array<bigint>) so order-insensitive canonicalizers can
+    hash the row — raw list columns are unhashable in a pandas
+    sort_values (driver FAIL in round 4; VERDICT r4 item 1)."""
     td = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("term"), "doc_id")
@@ -1340,9 +1346,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return td.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
-            "postings"
-        ),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD), ","
+        ).alias("postings"),
     )
 
 

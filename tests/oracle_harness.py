@@ -141,12 +141,31 @@ def type_problems(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     ]
 
 
+def driver_canon_problems(cols: list[str], rows: list[tuple], side: str) -> list[str]:
+    """Simulate the driver's pandas canonicalization: it sorts the result
+    frame with ``sort_values`` over the name-sorted columns before hashing.
+    A raw list/map/struct-typed column is unhashable in pandas' lexsort and
+    errors the driver row before comparison (r4's only hard FAIL,
+    q_inverted_index — VERDICT r4 item 1). This fails loud locally so a
+    non-canonicalizable result contract never burns a driver slot again."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    try:
+        pdf.sort_values(by=sorted(cols))
+    except TypeError as e:
+        return [f"{side} result not driver-canonicalizable (raw list/map col?): {e}"]
+    return []
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty ⇒ parity)."""
     problems: list[str] = list(type_problems(spark_df, oracle_sql, sf_dir))
     srows = spark_df.collect()
     scols = spark_df.columns
     ocols, orows = run_oracle(oracle_sql, sf_dir)
+    problems += driver_canon_problems(scols, [tuple(r) for r in srows], "spark")
+    problems += driver_canon_problems(ocols, orows, "oracle")
 
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as contract
-from tests.oracle_harness import compare
+from tests.oracle_harness import compare, driver_canon_problems
 
 QUERIES = contract.queries()
 ORACLES = contract.oracle_sql()
@@ -25,7 +25,12 @@ def test_oracle_parity(spark, sf_dir, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    rows = df.collect()
+    assert len(rows) >= 0
+    # rows-only results still pass through the driver; keep them
+    # pandas-canonicalizable too (see driver_canon_problems).
+    problems = driver_canon_problems(df.columns, [tuple(r) for r in rows], "spark")
+    assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
 def test_entry_smoke(spark):

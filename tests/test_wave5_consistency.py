@@ -238,9 +238,9 @@ def test_inverted_index_matches_python_model(spark, sf_dir):
         for term in r["text"].split(" "):
             postings[term].add(r["doc_id"])
     rows = QUERIES["q_inverted_index"](spark, sf_dir).collect()
-    got = {r["term"]: (r["df"], list(r["postings"])) for r in rows}
+    got = {r["term"]: (r["df"], r["postings"]) for r in rows}
     expected = {
-        term: (len(ids), sorted(ids)[:POSTINGS_HEAD])
+        term: (len(ids), ",".join(str(i) for i in sorted(ids)[:POSTINGS_HEAD]))
         for term, ids in postings.items()
     }
     assert got == expected
