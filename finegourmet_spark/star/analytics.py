@@ -79,8 +79,10 @@ def revenue_by_store_address(fact: DataFrame, dim_store: DataFrame) -> DataFrame
 def client_ranking(fact: DataFrame, dim_client: DataFrame) -> DataFrame:
     """§2C #10 — most loyal clients: revenue per named client, descending."""
     c = dim_client.select(F.col("Client_ID").alias("_cid"), "First_Name", "Last_Name")
+    # dim_client scales with the fact (unlike product/store): no broadcast
+    # hint — AQE makes the size-aware call.
     return (
-        fact.join(F.broadcast(c), fact.FK_Client_ID == F.col("_cid"))
+        fact.join(c, fact.FK_Client_ID == F.col("_cid"))
         .filter(F.col("Last_Name").isNotNull())
         .groupBy("First_Name", "Last_Name")
         .agg(dsum("Price", "revenue"), F.count("*").alias("n_purchases"))

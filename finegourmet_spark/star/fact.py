@@ -33,8 +33,11 @@ def build_fact_sales(
 
     clients = dim_client.select(F.col("Email").alias("_cemail"), "Client_ID")
     products = dim_product.select(F.col("Product_ID").alias("_pid"))
+    # dim_client SCALES with fact volume (one row per distinct shopper), so
+    # its join is left size-aware — AQE broadcasts while it fits and shuffles
+    # past the threshold. dim_product is a bounded catalog: hint kept.
     return (
-        both.join(F.broadcast(clients), both.Email == F.col("_cemail"), "left")
+        both.join(clients, both.Email == F.col("_cemail"), "left")
         .join(F.broadcast(products), both.Product_ID == F.col("_pid"), "left")
         .select(
             "Sale_ID",

@@ -303,3 +303,54 @@ def test_observation_metrics_from_single_pass(spark, tmp_path_factory):
     assert m["n_rows"] == 12
     assert m["n_orphan_product_fk"] == 1  # Produit Fantome
     assert m["n_null_prices"] == 0  # the "x" price was repaired
+
+
+def test_star_scale_replicator_factor3(spark, tmp_path_factory):
+    """tools/make_star_scale.py (the 1000x composed-run fixture generator)
+    at factor 3: facts and clients scale exactly 3x the reference's real
+    counts (580 fact rows, 2 quarantines per copy), per-copy anomaly
+    semantics survive the remap (quarantine rows still quarantine, dup
+    sale-ids still get _2 suffixes within each copy), and FK integrity
+    holds (bounded product/store dims resolve in every copy)."""
+    import subprocess
+    import sys as _sys
+
+    from finegourmet_spark.star.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("star_scale3"))
+    subprocess.run(
+        [_sys.executable, "tools/make_star_scale.py", "3", root],
+        check=True, cwd="/root/repo",
+    )
+    res = run_pipeline(
+        spark,
+        sfcc_glob=f"{root}/salesforces/*_sfcc_sales.csv",
+        cegid_path=f"{root}/cegid/*.json",
+        products_glob=f"{root}/product/*_product_reference.csv",
+        boutiques_path=f"{root}/boutiques/2025_boutiques.csv",
+    )
+    fact = res.star["Fact_Sales"]
+    assert fact.count() == 3 * 580
+    assert res.audits["sfcc_quarantine"].count() == 3 * 2
+    # client population scales: each copy remaps every email local part
+    n_clients = res.star["Dim_Client"].count()
+    base = run_pipeline(
+        spark,
+        sfcc_glob="/root/reference/data/salesforces/*_sfcc_sales.csv",
+        cegid_path="/root/reference/data/cegid/*.json",
+        products_glob="/root/reference/data/product/*_product_reference.csv",
+        boutiques_path="/root/reference/data/boutiques/2025_boutiques.csv",
+    )
+    n_base_clients = base.star["Dim_Client"].count()
+    # clients with a NULL email collapse to one anonymous row across copies
+    assert n_clients == 3 * (n_base_clients - 1) + 1
+    # per-copy dup-sale-id suffixing: same _2 count per copy as the reference
+    from pyspark.sql import functions as F
+
+    n_suffixed = fact.filter(F.col("Sale_ID").endswith("_2")).count()
+    n_base_suffixed = base.star["Fact_Sales"].filter(
+        F.col("Sale_ID").endswith("_2")
+    ).count()
+    assert n_suffixed == 3 * n_base_suffixed
+    # FK integrity: bounded dims resolve identically in every copy
+    assert fact.filter(F.col("FK_Product_ID").isNull()).count() == 3 * 0
