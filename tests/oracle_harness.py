@@ -155,7 +155,26 @@ def driver_canon_problems(cols: list[str], rows: list[tuple], side: str) -> list
         pdf.sort_values(by=sorted(cols))
     except TypeError as e:
         return [f"{side} result not driver-canonicalizable (raw list/map col?): {e}"]
-    return []
+    # dtype-level check (VERDICT r5 item 6): a sortable-but-MIXED object
+    # column (e.g. int and str values interleaved, or date vs datetime) can
+    # canonicalize differently per side and break the driver's
+    # dtype-sensitive hash without any TypeError locally. Require every
+    # object-dtype column to hold ONE python type (None/NaN excluded).
+    problems: list[str] = []
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype == object:
+            kinds = {
+                type(v).__name__
+                for v in s
+                if v is not None and not (isinstance(v, float) and math.isnan(v))
+            }
+            if len(kinds) > 1:
+                problems.append(
+                    f"{side} column {col!r} mixes object dtypes {sorted(kinds)}"
+                    " — schema_match hazard"
+                )
+    return problems
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:

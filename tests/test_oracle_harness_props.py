@@ -117,3 +117,36 @@ def test_type_problems_catches_hugeint_vs_bigint(spark, sf_dir):
         sf_dir,
     )
     assert clean == [], clean
+
+
+def test_base_testdata_has_no_nulls(sf_dir):
+    """NULL-order hygiene precondition (ADVICE r4 Mann-Whitney class,
+    VERDICT r5 item 5): Spark and DuckDB default to OPPOSITE NULL placement
+    in ORDER BY (Spark asc = NULLS FIRST, DuckDB asc = NULLS LAST), so any
+    un-annotated window ORDER BY diverges the moment its sort key is NULL.
+    This pins the fact that makes the fleet-wide audit tractable: NO base
+    testdata column contains a NULL at any tested sf, so a nullable sort
+    key can ONLY be derived (left join, try_cast, explicit injection) —
+    and derived-NULL sites are local, greppable, and carry explicit
+    filters/annotations (quality.py Mann-Whitney + grouped-percentiles).
+    If the driver ever regenerates testdata WITH nulls, this fails loudly
+    and the 61 un-annotated window ORDER BYs must be re-audited."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings")
+    for tbl in tables:
+        path = f"{sf_dir}/{tbl}.parquet"
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{path}'"
+            ).fetchall()
+        ]
+        exprs = ", ".join(
+            f'SUM(CASE WHEN "{c}" IS NULL THEN 1 ELSE 0 END)' for c in cols
+        )
+        row = con.execute(f"SELECT {exprs} FROM '{path}'").fetchone()
+        nulls = {c: n for c, n in zip(cols, row) if n}
+        assert not nulls, f"{tbl} now carries NULLs: {nulls} — re-audit"

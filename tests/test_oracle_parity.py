@@ -25,8 +25,7 @@ def test_oracle_parity(spark, sf_dir, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    rows = df.collect()
-    assert len(rows) >= 0
+    rows = df.collect()  # the execution itself is the check (ADVICE r5)
     # rows-only results still pass through the driver; keep them
     # pandas-canonicalizable too (see driver_canon_problems).
     problems = driver_canon_problems(df.columns, [tuple(r) for r in rows], "spark")
