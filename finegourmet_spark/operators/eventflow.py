@@ -350,7 +350,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
     )
     SELECT from_type, to_type, n_transitions,
-           CAST((1000000 * n_transitions)
+           CAST((1000000::HUGEINT * n_transitions)
                 // SUM(n_transitions) OVER (PARTITION BY from_type)
                 AS BIGINT) AS p_ppm
     FROM c
@@ -380,8 +380,12 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.withColumn(
         "p_ppm",
-        F.expr("(1000000 * n_transitions) div sum(n_transitions) over "
-               "(partition by from_type)").cast("bigint"),
+        # 1e6·transition-count passes int64 near 1e13 events — decimal(38,0)/
+        # HUGEINT per the q_crosstab_chi2 width rule
+        F.expr(
+            "(1000000 * cast(n_transitions as decimal(38,0)))"
+            " div sum(n_transitions) over (partition by from_type)"
+        ).cast("bigint"),
     ).select("from_type", "to_type", "n_transitions", "p_ppm")
 
 

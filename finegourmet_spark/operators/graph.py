@@ -376,7 +376,8 @@ RULE_MIN_SUPPORT = 3  # minimum co-basket count for an association rule
     SELECT p.ante, p.cons, p.n_ab,
            CAST((1000000 * p.n_ab) // nb.n_orders AS BIGINT) AS support_ppm,
            CAST((1000000 * p.n_ab) // ia.n AS BIGINT) AS confidence_ppm,
-           CAST((1000000 * p.n_ab * nb.n_orders) // (ia.n * ic.n) AS BIGINT)
+           CAST((1000000::HUGEINT * p.n_ab * nb.n_orders)
+                // (CAST(ia.n AS HUGEINT) * ic.n) AS BIGINT)
              AS lift_ppm
     FROM pair p
     JOIN item ia ON ia.pk = p.ante
@@ -390,8 +391,11 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic measures — support (share of all baskets), confidence
     (P(B|A) — the directed measure the symmetric q_cooccurrence_lift
     cannot express), and lift — all as integer floor-ppm (nonneg operands,
-    `div` ≡ `//`; the lift numerator n_ab·N rides int64: ≤ 1e4·1.5e6 ≈
-    1e10 per million-fold scale headroom).
+    `div` ≡ `//`). The lift ratio multiplies TWO data-scaling counts
+    (1e6·n_ab·N over n_a·n_c), which passes int64 once N reaches ~1e9
+    baskets — so it rides decimal(38,0)/HUGEINT (the q_crosstab_chi2
+    width rule); support/confidence numerators are 1e6·n_ab, bounded by
+    1e6·N with ~1e3x headroom at 100 TB.
 
     Scale shape: the basket self-join rides ONE hash(order) exchange with
     per-order fan-out bounded by basket size² (the _edges discipline); the
@@ -431,7 +435,10 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_ab) div n_a").cast("bigint").alias(
                 "confidence_ppm"
             ),
-            F.expr("(1000000 * n_ab * n_orders) div (n_a * n_c)")
+            F.expr(
+                "(1000000 * cast(n_ab as decimal(38,0)) * n_orders)"
+                " div (cast(n_a as decimal(38,0)) * n_c)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )

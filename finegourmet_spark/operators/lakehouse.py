@@ -163,9 +163,10 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_keys AS BIGINT) AS n_keys,
            CAST(k AS BIGINT) AS hottest_key,
            CAST(max_cnt AS BIGINT) AS max_key_rows,
-           CAST((1000000 * max_cnt) // total AS BIGINT) AS top_share_ppm,
-           CAST((max_cnt * n_keys + total - 1) // total AS BIGINT)
-             AS suggested_salt
+           CAST((1000000::HUGEINT * max_cnt) // total AS BIGINT)
+             AS top_share_ppm,
+           CAST((CAST(max_cnt AS HUGEINT) * n_keys + total - 1) // total
+                AS BIGINT) AS suggested_salt
     FROM ranked WHERE rk = 1
     """,
 )
@@ -202,8 +203,15 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys").cast("bigint").alias("n_keys"),
         F.col("k").cast("bigint").alias("hottest_key"),
         F.col("max_cnt").cast("bigint").alias("max_key_rows"),
-        F.expr("(1000000 * max_cnt) div total").cast("bigint").alias("top_share_ppm"),
-        F.expr("(max_cnt * n_keys + total - 1) div total")
+        # 1e6·max_cnt and max_cnt·n_keys both multiply data-scaling counts —
+        # ride decimal(38,0)/HUGEINT (the q_crosstab_chi2 width rule): a
+        # diagnosed-hot key on a trillion-row fact is exactly when this runs
+        F.expr("(1000000 * cast(max_cnt as decimal(38,0))) div total")
+        .cast("bigint")
+        .alias("top_share_ppm"),
+        F.expr(
+            "(cast(max_cnt as decimal(38,0)) * n_keys + total - 1) div total"
+        )
         .cast("bigint")
         .alias("suggested_salt"),
     )

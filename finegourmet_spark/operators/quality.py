@@ -542,7 +542,7 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(*) FILTER (WHERE us < prev_max_us) AS BIGINT)
              AS n_late,
-           CAST((1000000 * count(*) FILTER (WHERE us < prev_max_us))
+           CAST((1000000::HUGEINT * count(*) FILTER (WHERE us < prev_max_us))
                 // count(*) AS BIGINT) AS late_ppm,
            CAST(COALESCE(max(prev_max_us - us) FILTER
                          (WHERE us < prev_max_us), 0) AS BIGINT)
@@ -576,9 +576,11 @@ def q_out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(late, 1)).alias("n_late"),
+        # 1e6·event-count passes int64 near 1e13 events — decimal(38,0)/
+        # HUGEINT per the q_crosstab_chi2 width rule
         F.expr(
-            "(1000000 * count(case when us < prev_max_us then 1 end))"
-            " div count(*)"
+            "(1000000 * cast(count(case when us < prev_max_us then 1 end)"
+            " as decimal(38,0))) div count(*)"
         )
         .cast("bigint")
         .alias("late_ppm"),

@@ -2195,9 +2195,9 @@ def q_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     )
     SELECT r_name, n_name, rev_cents,
-           CAST((1000000 * rev_cents) // region_cents AS BIGINT)
+           CAST((1000000::HUGEINT * rev_cents) // region_cents AS BIGINT)
              AS nation_share_ppm,
-           CAST((1000000 * region_cents) // total_cents AS BIGINT)
+           CAST((1000000::HUGEINT * region_cents) // total_cents AS BIGINT)
              AS region_share_ppm
     FROM shares
     """,
@@ -2207,7 +2207,11 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     its region, region as a fraction of the grand total — the '% of
     parent' OLAP verb every drill-down dashboard shows next to the raw
     measure (dashboard queries 5-8 are its leaves, SURVEY §2C). Shares
-    are floor-ppm over exact decimal cents (nonneg ⇒ div == //).
+    are floor-ppm over exact decimal cents (nonneg ⇒ div == //); the ppm
+    numerator 1e6·cents rides decimal(38,0)/HUGEINT (the q_crosstab_chi2
+    rule) — region sums pass int64's 9.2e18 ceiling near sf10
+    (~1.5e13 cents · 1e6), where BIGINT wraps silently in Spark and
+    errors in DuckDB (caught by the round-6 sf10 parity spot-check).
 
     Scale shape: the data-scale work is ONE map-side-combined aggregate
     over orders joined to nation/region (hint-broadcast, bounded) and
@@ -2235,12 +2239,12 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "rev_cents",
         F.expr(
-            "cast((1000000 * rev_cents) div sum(rev_cents)"
-            " over (partition by r_name) as bigint)"
+            "cast((1000000 * cast(rev_cents as decimal(38,0)))"
+            " div sum(rev_cents) over (partition by r_name) as bigint)"
         ).alias("nation_share_ppm"),
         F.expr(
-            "cast((1000000 * sum(rev_cents) over (partition by r_name))"
-            " div sum(rev_cents) over () as bigint)"
+            "cast((1000000 * cast(sum(rev_cents) over (partition by r_name)"
+            " as decimal(38,0))) div sum(rev_cents) over () as bigint)"
         ).alias("region_share_ppm"),
     )
 

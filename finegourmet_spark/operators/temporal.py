@@ -1065,16 +1065,20 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT month_start, rev_cents, prev_cents,
-           CASE WHEN prev_cents IS NULL THEN NULL
+           CAST(CASE WHEN prev_cents IS NULL THEN NULL
                 WHEN rev_cents >= prev_cents
-                  THEN (1000000 * (rev_cents - prev_cents)) // prev_cents
-                ELSE -((1000000 * (prev_cents - rev_cents)) // prev_cents)
-           END AS mom_growth_ppm,
-           CASE WHEN yoy_cents IS NULL THEN NULL
+                  THEN (1000000::HUGEINT * (rev_cents - prev_cents))
+                       // prev_cents
+                ELSE -((1000000::HUGEINT * (prev_cents - rev_cents))
+                       // prev_cents)
+           END AS BIGINT) AS mom_growth_ppm,
+           CAST(CASE WHEN yoy_cents IS NULL THEN NULL
                 WHEN rev_cents >= yoy_cents
-                  THEN (1000000 * (rev_cents - yoy_cents)) // yoy_cents
-                ELSE -((1000000 * (yoy_cents - rev_cents)) // yoy_cents)
-           END AS yoy_growth_ppm
+                  THEN (1000000::HUGEINT * (rev_cents - yoy_cents))
+                       // yoy_cents
+                ELSE -((1000000::HUGEINT * (yoy_cents - rev_cents))
+                       // yoy_cents)
+           END AS BIGINT) AS yoy_growth_ppm
     FROM lagged
     """,
 )
@@ -1118,8 +1122,14 @@ def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def signed_ppm(cur: str, base: str) -> F.Column:
-        pos = F.expr(f"(1000000 * ({cur} - {base})) div {base}")
-        neg = -F.expr(f"(1000000 * ({base} - {cur})) div {base}")
+        # 1e6 · a-month-of-cents passes int64 near sf1000 — ride
+        # decimal(38,0)/HUGEINT (the q_crosstab_chi2 width rule)
+        pos = F.expr(
+            f"(1000000 * cast(({cur} - {base}) as decimal(38,0))) div {base}"
+        )
+        neg = -F.expr(
+            f"(1000000 * cast(({base} - {cur}) as decimal(38,0))) div {base}"
+        )
         return (
             F.when(F.col(base).isNull(), F.lit(None).cast("bigint"))
             .when(F.col(cur) >= F.col(base), pos)
