@@ -1608,8 +1608,10 @@ ALLOC_UNITS = 1_000_000  # budget apportioned across nations
       GROUP BY 1
     ), sh AS (
       SELECT n_name, rev_cents,
-             ({ALLOC_UNITS} * rev_cents) // SUM(rev_cents) OVER () AS fl,
-             ({ALLOC_UNITS} * rev_cents) % SUM(rev_cents) OVER () AS rem
+             ({ALLOC_UNITS}::HUGEINT * rev_cents)
+               // SUM(rev_cents) OVER () AS fl,
+             ({ALLOC_UNITS}::HUGEINT * rev_cents)
+               % SUM(rev_cents) OVER () AS rem
       FROM rev
     ), rk AS (
       SELECT *,
@@ -1656,10 +1658,13 @@ def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
     sh = rev.select(
         "n_name",
         "rev_cents",
-        F.expr(f"({ALLOC_UNITS} * rev_cents) div sum(rev_cents) over ()").alias(
-            "fl"
-        ),
-        (F.lit(ALLOC_UNITS) * F.col("rev_cents"))
+        # ALLOC_UNITS·national-cents passes int64 near sf10 — decimal(38,0)/
+        # HUGEINT per the q_crosstab_chi2 width rule
+        F.expr(
+            f"({ALLOC_UNITS} * cast(rev_cents as decimal(38,0)))"
+            " div sum(rev_cents) over ()"
+        ).alias("fl"),
+        (F.lit(ALLOC_UNITS) * F.col("rev_cents").cast("decimal(38,0)"))
         .__mod__(F.sum("rev_cents").over(everything))
         .alias("rem"),
     )
@@ -1703,8 +1708,10 @@ ABC_B_NUM, ABC_B_DEN = 19, 20
              SUM(rev_cents) OVER () AS total
       FROM rev
     ), classed AS (
-      SELECT CASE WHEN {ABC_A_DEN} * cum <= {ABC_A_NUM} * total THEN 'A'
-                  WHEN {ABC_B_DEN} * cum <= {ABC_B_NUM} * total THEN 'B'
+      SELECT CASE WHEN {ABC_A_DEN}::HUGEINT * cum
+                       <= {ABC_A_NUM}::HUGEINT * total THEN 'A'
+                  WHEN {ABC_B_DEN}::HUGEINT * cum
+                       <= {ABC_B_NUM}::HUGEINT * total THEN 'B'
                   ELSE 'C' END AS abc_class,
              rev_cents
       FROM cum
@@ -1746,10 +1753,18 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.crossJoin(F.broadcast(tot))
         .select(
+            # 20·total-cents has only ~2x headroom in int64 at 100 TB —
+            # cross-multiply in decimal(38,0)/HUGEINT (the width rule)
             F.when(
-                ABC_A_DEN * F.col("cum") <= ABC_A_NUM * F.col("total"), "A"
+                ABC_A_DEN * F.col("cum").cast("decimal(38,0)")
+                <= ABC_A_NUM * F.col("total").cast("decimal(38,0)"),
+                "A",
             )
-            .when(ABC_B_DEN * F.col("cum") <= ABC_B_NUM * F.col("total"), "B")
+            .when(
+                ABC_B_DEN * F.col("cum").cast("decimal(38,0)")
+                <= ABC_B_NUM * F.col("total").cast("decimal(38,0)"),
+                "B",
+            )
             .otherwise("C")
             .alias("abc_class"),
             "rev_cents",

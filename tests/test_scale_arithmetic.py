@@ -161,10 +161,14 @@ def test_width_rule_expressions(spark, label, sexpr, dexpr, want):
 # --- source pins: reverting a widening must fail HERE, not at 100 TB ---
 _SRC = Path(__file__).resolve().parent.parent / "finegourmet_spark" / "operators"
 _PINS = {
-    "relational.py": [  # q_share_of_parent
+    "relational.py": [  # q_share_of_parent, q_allocation_largest_remainder,
+        # q_abc_analysis
         "1000000 * cast(rev_cents as decimal(38,0))",
         "1000000::HUGEINT * rev_cents",
         "1000000::HUGEINT * region_cents",
+        "{ALLOC_UNITS}::HUGEINT * rev_cents",
+        "{ALLOC_UNITS} * cast(rev_cents as decimal(38,0))",
+        "::HUGEINT * cum",
     ],
     "temporal.py": [  # q_growth_rates
         "as decimal(38,0))) div {base}",
