@@ -10,7 +10,9 @@ which at sf10 means multi-GB driver lists (the q_null_repair lesson:
 is on output rows: metadata-scale results (aggregates, top-k, profiles —
 the shapes that can hide width bugs) still get the full cross-engine hash.
 
-Usage: python tools/sf10_sweep.py [start_at_name]
+Usage: python tools/sf10_sweep.py [start_at_name] [end_before_name]
+(bounds let two sweep halves run in parallel — Spark stages, DuckDB, and
+the single-threaded Python canonicalization overlap across processes)
 """
 
 from __future__ import annotations
@@ -48,8 +50,11 @@ def main() -> int:
     o = contract.oracle_sql()
     names = sorted(q)
     start_at = sys.argv[1] if len(sys.argv) > 1 else None
+    end_before = sys.argv[2] if len(sys.argv) > 2 else None
     if start_at:
         names = [n for n in names if n >= start_at]
+    if end_before:
+        names = [n for n in names if n < end_before]
     t_start = time.time()
     fails = []
     spark = None
