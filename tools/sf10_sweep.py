@@ -37,6 +37,17 @@ SPARK_SIDE_ONLY = {
     "q_dedup_ngram_jaccard", "q_dedup_embedding",
 }
 
+# Skipped entirely at sf10: ops that pair documents/names on CONTENT. The
+# replicator gives every document 100 exact copies (same text, new ids), so
+# per-cluster candidate pairs grow C(100,2)=4950 — a fixture-quadratic
+# stress (the q_dedup_minhash decade-curve note), not a scale signal. On a
+# real corpus near-dup rates stay ~constant and these are bucketed/bounded.
+SF10_FIXTURE_QUADRATIC = {
+    "q_containment_dedup", "q_setsim_join_prefix", "q_dedup_ngram_jaccard",
+    "q_dedup_chunks", "q_dedup_clusters", "q_dedup_semantic_clusters",
+    "q_golden_record", "q_fuzzy_join_levenshtein",
+}
+
 # Checkpoint blocks accumulate across queries (the sf1_sweep lesson);
 # restart the session periodically.
 SESSION_CHUNK = 25
@@ -64,6 +75,11 @@ def main() -> int:
                 spark.stop()
             spark = get_spark(app_name="sf10_sweep")
         t0 = time.time()
+        if name in SF10_FIXTURE_QUADRATIC:
+            print(f"[{i + 1}/{len(names)}] {name}: skipped "
+                  "[fixture-quadratic content pairs at 100-copy duplication]",
+                  flush=True)
+            continue
         try:
             df = q[name](spark, SF10)
             n = df.count()
