@@ -45,7 +45,7 @@ SPARK_SIDE_ONLY = {
 SF10_FIXTURE_QUADRATIC = {
     "q_containment_dedup", "q_setsim_join_prefix", "q_dedup_ngram_jaccard",
     "q_dedup_chunks", "q_dedup_clusters", "q_dedup_semantic_clusters",
-    "q_golden_record", "q_fuzzy_join_levenshtein",
+    "q_golden_record", "q_fuzzy_join_levenshtein", "q_dedup_embedding",
 }
 
 # Checkpoint blocks accumulate across queries (the sf1_sweep lesson);
