@@ -46,6 +46,11 @@ SF10_FIXTURE_QUADRATIC = {
     "q_containment_dedup", "q_setsim_join_prefix", "q_dedup_ngram_jaccard",
     "q_dedup_chunks", "q_dedup_clusters", "q_dedup_semantic_clusters",
     "q_golden_record", "q_fuzzy_join_levenshtein", "q_dedup_embedding",
+    # ML twin of q_dedup_minhash: approxSimilarityJoin rows carry sparse
+    # vectors, so even counting the quadratic pair set trips the driver
+    # result-size cap; the custom q_dedup_minhash (32 longs/doc) is the
+    # sf10-capable path and DID complete (65.8 s, decade-curve note).
+    "q_dedup_minhash_ml",
 }
 
 # Checkpoint blocks accumulate across queries (the sf1_sweep lesson);
