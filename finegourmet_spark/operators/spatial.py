@@ -18,8 +18,16 @@ its 3×3 neighboring cells (a bounded ×9 explode — the same bounded-fan-out
 argument as the rolling-window contribution explode, eventflow.py), then ONE
 equi-join on the cell id pairs every customer with exactly the suppliers
 that can possibly lie within Chebyshev radius CELL — candidate count is
-(points per cell)², locally bounded, never |C|×|S|. The exact residual
-predicate |dx|≤CELL ∧ |dy|≤CELL then makes the semantics precise:
+(points per cell)², never |C|×|S|. NOTE the bound is on DENSITY, not data
+size: with GRID and CELL fixed, points-per-cell grows linearly with the
+table and candidates quadratically (the round-6 sf10 sweep measured
+~2.4e9 candidates at 1.5M customers — the fixture packs 1000x the points
+into the same 16x16 cells). A production deployment sizes CELL from the
+observed density (as it sizes DBSCAN's eps below, via a sampled
+k-distance curve); the density-adaptive variant — finer cells plus an
+expanding-ring search that visits outer rings only for customers still
+unmatched — is the 100 TB path and is queued in ROADMAP.md. The exact
+residual predicate |dx|≤CELL ∧ |dy|≤CELL makes the semantics precise:
 
     "nearest supplier within Chebyshev distance CELL, ties broken by the
      smaller supplier key; customers with no such supplier are absent."

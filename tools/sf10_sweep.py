@@ -51,6 +51,15 @@ SF10_FIXTURE_QUADRATIC = {
     # result-size cap; the custom q_dedup_minhash (32 longs/doc) is the
     # sf10-capable path and DID complete (65.8 s, decade-curve note).
     "q_dedup_minhash_ml",
+    # DENSITY-quadratic (round-6 sweep catch, distinct class from the
+    # content-pair ops above): the grid NN join uses a FIXED 4096^2 space
+    # with CELL=256 == the search radius, so the replicated fixture packs
+    # 1000x the points into the same cells — each customer's radius then
+    # holds ~1.5k suppliers and the candidate join is ~2.4e9 rows (>9 min
+    # observed; result is still 1 row/customer). On real data the cell
+    # size is chosen from density; the density-adaptive variant (finer
+    # cells + expanding-ring search) is the queued r7 fix — see ROADMAP.
+    "q_geo_nearest_grid",
 }
 
 # Checkpoint blocks accumulate across queries (the sf1_sweep lesson);
