@@ -34,19 +34,45 @@ import finegourmet_spark.streaming.windows  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
 # Registration order is the driver's sampling order: the driver checks the
-# FIRST 50 registered queries only (observed r1-r5). Round-6 rotation
-# (VERDICT r5 item 1 — r5 shipped with the r4 window verbatim, so the 73
-# never-driver-checked queries carried over unchanged): slots 0-43 are the
-# 44-query pre-r4 backlog in wave order; slots 44-49 are the first 6 of the
-# 29 r4-wave queries. All 50 are oracle-backed and green in the repo's own
-# full-registry DuckDB sweeps at sf0.01 and sf1 (BASELINE.md) — this window
-# converts that sweep evidence into driver rows. Below the boundary: the
-# remaining 23 never-checked r4-wave queries queue for the r7 rotation,
-# followed by every previously driver-green query (rows exist in
-# CORRECTNESS_r01..r05), newest evidence first. Registry is frozen (VERDICT
-# r5 item 7) until never-checked < 25, which this rotation achieves.
+# FIRST 50 registered queries only (observed r1-r6). Round-7 rotation
+# (VERDICT r6 item 1): slots 0-22 are the FINAL 23 never-driver-checked
+# queries (r4 waves 25-34, in wave order) — after this window lands,
+# never-checked = 0 and every registered query has at least one driver
+# CORRECTNESS row. Slots 23-49 re-confirm newest-code/oldest-evidence:
+# the 6 queries de-hinted in r6 (forced broadcasts dropped, AQE decides),
+# the 4 ppm-widened queries whose driver evidence predates the r6
+# decimal(38,0) widening, the 9 queries whose only driver row is r1, and
+# 8 more r1-green/last-checked-r2 queries. All 50 are oracle-backed and
+# green in the repo's own full-registry DuckDB sweeps (BASELINE.md).
+# Below the boundary: everything else, newest evidence last; new r7-wave
+# queries register at the END (window-eligible for r8 per VERDICT r6
+# item 5 — they must not displace the never-checked closeout).
 _PRIORITY = [
-    # ---- slots 0-43: pre-r4 backlog, oracle-backed, never checked ------
+    # ---- slots 0-22: the final 23 never-checked (r4 waves 25-34) -------
+    "q_ks_drift", "q_mann_whitney_ab", "q_gini_revenue", "q_km_risk_table",
+    "q_join_null_safe", "q_explode_outer", "q_group_by_all",
+    "q_date_spine_fill", "q_timezone_normalize", "q_join_asof_tolerance",
+    "q_histogram_log_bins", "q_winsorize", "q_graph_label_propagation",
+    "q_stream_join", "q_geo_dbscan", "q_except_all", "q_intersect_all",
+    "q_bootstrap_poisson", "q_diff_in_diff", "q_funnel_unordered",
+    "q_embedding_quality_audit", "q_scd2_apply_cdc", "q_grouped_percentiles",
+    # ---- slots 23-28: r6 de-hinted broadcasts (code changed after their
+    #      last driver row; re-confirm post-edit) -------------------------
+    "q_join_inner", "q_topk", "q_star_join", "q_null_repair",
+    "q_allocation_largest_remainder", "q_share_of_parent",
+    # ---- slots 29-32: r6 ppm-widened, driver evidence predates widening -
+    "q_markov_transitions", "q_abc_analysis", "q_assoc_rules",
+    "q_crosstab_chi2",
+    # ---- slots 33-41: only driver row is r1 -----------------------------
+    "q_agg_mode", "q_agg_percentile_exact", "q_agg_stats", "q_map_in_pandas",
+    "q_scalar_subquery", "q_surrogate_keys_scalable", "q_text_quality",
+    "q_union_missing_cols", "q_window_range_frame",
+    # ---- slots 42-49: oldest remaining greens (last checked r1/r2) ------
+    "q_agg_basic", "q_dedup_exact", "q_similarity_topk", "q_stream_tumbling",
+    "q_agg_cube", "q_agg_grouping_sets", "q_json_funcs",
+    "q_explode_wordcount",
+    # ---- slot 50 boundary ----------------------------------------------
+    # r6 window (all green in CORRECTNESS_r06):
     "q_order_gaps", "q_dedup_chunks", "q_ab_experiment", "q_stickiness",
     "q_ols_trend", "q_out_of_order_events", "q_golden_record",
     "q_graph_bfs_hops", "q_item_item_cf", "q_bitmap_distinct_rollup",
@@ -55,40 +81,30 @@ _PRIORITY = [
     "q_seasonal_forecast", "q_vocab_oov_rate", "q_variant_funcs",
     "q_pipe_syntax", "q_snapshot_diff_cdc", "q_growth_rates",
     "q_pit_features", "q_late_arriving_dim", "q_sql_scalar_function",
-    "q_bitmap_audience_overlap", "q_share_of_parent", "q_topn_others",
+    "q_bitmap_audience_overlap", "q_topn_others",
     "q_attribution_linear", "q_try_arithmetic", "q_bitwise_agg",
     "q_lambda_funcs", "q_mask_pii", "q_json_quarantine", "q_xml_funcs",
     "q_collation_compare", "q_table_checksum", "q_keyspace_gaps",
     "q_rank_wilson", "q_dedup_sorted_neighborhood",
     "q_incremental_agg_retraction", "q_interval_coverage",
     "q_percentile_cont_exact", "q_bom_rollup", "q_scd2_lookup",
-    # ---- slots 44-49: r4 waves 23-24, never checked --------------------
     "q_url_canonicalize", "q_token_count_pretokenizer", "q_merge_upsert",
     "q_gdpr_erasure", "q_skew_diagnose", "q_compaction_plan",
-    # ---- slot 50 boundary ----------------------------------------------
-    # Remaining never-checked (23, r4 waves 25-34) — r7 rotation queue:
-    "q_ks_drift", "q_mann_whitney_ab", "q_gini_revenue", "q_km_risk_table",
-    "q_join_null_safe", "q_explode_outer", "q_group_by_all",
-    "q_date_spine_fill", "q_timezone_normalize", "q_join_asof_tolerance",
-    "q_histogram_log_bins", "q_winsorize", "q_graph_label_propagation",
-    "q_stream_join", "q_geo_dbscan", "q_except_all", "q_intersect_all",
-    "q_bootstrap_poisson", "q_diff_in_diff", "q_funnel_unordered",
-    "q_embedding_quality_audit", "q_scd2_apply_cdc", "q_grouped_percentiles",
     # ---- previously driver-green (rows in CORRECTNESS_r01..r05) --------
     "q_dedup_simhash", "q_retention_cohorts", "q_attribution",
     "q_graph_degree_dist", "q_graph_triangles", "q_timeseries_interpolate",
     "q_data_quality_audit", "q_outlier_zscore", "q_rolling_active_users",
-    "q_markov_transitions", "q_user_streaks", "q_concurrency_peak",
+    "q_user_streaks", "q_concurrency_peak",
     "q_ewma_revenue", "q_outlier_mad", "q_knn_classify", "q_vocab_growth",
     "q_lateral_topk", "q_setsim_join_prefix", "q_ohlc_bars",
-    "q_time_weighted_avg", "q_containment_dedup", "q_crosstab_chi2",
+    "q_time_weighted_avg", "q_containment_dedup",
     "q_event_pattern_match", "q_udtf_installments", "q_business_days_sla",
     "q_similarity_topk_np", "q_multimodal_features", "q_skyline_pareto",
-    "q_allocation_largest_remainder", "q_benford_profile", "q_column_profile",
+    "q_benford_profile", "q_column_profile",
     "q_histogram_equidepth", "q_cusum_anomaly", "q_autocorr_lag",
     "q_rfm_segmentation", "q_inverted_index", "q_fuzzy_join_levenshtein",
     "q_graph_jaccard_neighbors", "q_bm25_topk", "q_sample_weighted",
-    "q_assoc_rules", "q_cohort_ltv", "q_funnel_latency", "q_abc_analysis",
+    "q_cohort_ltv", "q_funnel_latency",
     "q_heavy_hitters", "q_rolling_median", "q_theil_sen", "q_session_paths",
     "q_knn_confusion", "q_funnel_windowed", "q_join_asof", "q_join_range",
     "q_sessionize", "q_dedup_clusters", "q_repetition_ratio",
@@ -106,20 +122,17 @@ _PRIORITY = [
     "q_bpe_merge_candidates", "q_string_agg", "q_dedup_semantic_clusters",
     "q_cooccurrence_lift", "q_funnel", "q_graph_pagerank", "q_stream_session",
     "q_stream_watermark_dedup", "q_agg_approx", "q_dedup_minhash",
-    "q_stream_tumbling", "q_stream_sliding", "q_star_join",
-    "q_similarity_topk", "q_agg_basic", "q_dedup_exact", "q_text_stats",
-    "q_topk", "q_join_inner", "q_udf_scalar", "q_udaf", "q_scan_project",
+    "q_stream_sliding",
+    "q_text_stats",
+    "q_udf_scalar", "q_udaf", "q_scan_project",
     "q_filter_pred", "q_case_when", "q_string_funcs", "q_date_funcs",
     "q_math_funcs", "q_join_left", "q_join_right", "q_join_full",
     "q_join_cross", "q_in_subquery", "q_join_semi", "q_join_anti",
-    "q_join_theta", "q_agg_first_nonnull", "q_agg_rollup", "q_agg_cube",
-    "q_agg_grouping_sets", "q_window_rank", "q_window_analytic",
+    "q_join_theta", "q_agg_first_nonnull", "q_agg_rollup",
+    "q_window_rank", "q_window_analytic",
     "q_dedup_rownum", "q_sort_multi", "q_union", "q_intersect", "q_except",
-    "q_distinct", "q_null_repair", "q_surrogate_keys", "q_pivot",
-    "q_json_funcs", "q_array_funcs", "q_explode_wordcount", "q_map_funcs",
-    "q_agg_stats", "q_agg_percentile_exact", "q_scalar_subquery",
-    "q_agg_mode", "q_window_range_frame", "q_union_missing_cols",
-    "q_surrogate_keys_scalable", "q_map_in_pandas", "q_text_quality",
+    "q_distinct", "q_surrogate_keys", "q_pivot",
+    "q_array_funcs", "q_map_funcs",
 ]
 
 
