@@ -13,20 +13,26 @@ portable-permutation operator here uses (e.g. q_sample_stratified,
 textops.py:383). Distances are squared-Euclidean INTEGERS, so both engines
 rank candidates identically — no sqrt, no floats, no ulp drift.
 
-Scale shape (the point of the operator): each supplier is replicated into
-its 3×3 neighboring cells (a bounded ×9 explode — the same bounded-fan-out
-argument as the rolling-window contribution explode, eventflow.py), then ONE
-equi-join on the cell id pairs every customer with exactly the suppliers
-that can possibly lie within Chebyshev radius CELL — candidate count is
-(points per cell)², never |C|×|S|. NOTE the bound is on DENSITY, not data
-size: with GRID and CELL fixed, points-per-cell grows linearly with the
-table and candidates quadratically (the round-6 sf10 sweep measured
-~2.4e9 candidates at 1.5M customers — the fixture packs 1000x the points
-into the same 16x16 cells). A production deployment sizes CELL from the
-observed density (as it sizes DBSCAN's eps below, via a sampled
-k-distance curve); the density-adaptive variant — finer cells plus an
-expanding-ring search that visits outer rings only for customers still
-unmatched — is the 100 TB path and is queued in ROADMAP.md. The exact
+Scale shape (the point of the operator): suppliers are bucketed on a FINE
+grid whose cell width is chosen from the sampled supplier density (largest
+power-of-two divisor ``w`` of CELL with expected points-per-fine-cell ≤
+TARGET_PER_CELL — the same sampled-density principle DBSCAN's eps sizing
+below documents), so candidate fan-out per probe is a CONSTANT at any
+scale. Level 1 replicates each supplier into its 3×3 fine-cell
+neighborhood (a bounded ×9 explode) and one equi-join on the cell ids
+pairs every customer with the suppliers within fine-Chebyshev radius
+``w``; any candidate with d² ≤ w² is provably the global nearest (every
+supplier outside the searched cells is at coordinate distance > w).
+Customers still undecided then take EXPANDING-RING passes — probe cells
+out to doubling radii 2w, 4w, … CELL, exploded on the (shrinking)
+customer side and equi-joined against the un-exploded fine-bucketed
+suppliers — so outer rings are visited only by the sparse-region
+residue, never the whole table. The round-6 sf10 sweep measured the
+fixed-cell variant at ~2.4e9 candidates (1000× density packed into the
+same 16×16 cells, run killed); the adaptive form holds candidates at
+|C|·9·TARGET_PER_CELL regardless of density. When density is low the
+width selector returns w = CELL and the plan collapses to the original
+single-level shape — same join, same explode, one agg exchange. The exact
 residual predicate |dx|≤CELL ∧ |dy|≤CELL makes the semantics precise:
 
     "nearest supplier within Chebyshev distance CELL, ties broken by the
@@ -41,13 +47,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from finegourmet_spark.operators.registry import query
 from finegourmet_spark.sources.testdata import load_table as t
 
 GRID = 4096  # coordinate space is [0, GRID) on both axes
-CELL = 256  # cell width == the Chebyshev search radius
+CELL = 256  # the Chebyshev search radius (and the coarsest cell width)
+# Density target for the adaptive fine grid: expected suppliers per fine
+# cell stays ≤ this, so per-probe candidate fan-out is constant at any SF.
+TARGET_PER_CELL = 4.0
+MIN_FINE_CELL = 4  # don't shrink cells below coordinate granularity ×4
+
+
+def _pick_fine_cell(n_points: int) -> int:
+    """Largest power-of-two divisor ``w`` of CELL (≥ MIN_FINE_CELL) whose
+    expected points-per-cell ``n·w²/GRID²`` is ≤ TARGET_PER_CELL. At the
+    driver SFs this returns CELL (single-level plan, the original shape);
+    at sf10's 100k suppliers it returns 16 (≈1.5 suppliers/cell)."""
+    w = CELL
+    while w > MIN_FINE_CELL and n_points * w * w > TARGET_PER_CELL * GRID * GRID:
+        w //= 2
+    return w
 
 
 def _coord_sql(salt: str, key: str) -> str:
@@ -102,11 +121,24 @@ def q_geo_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed nearest supplier per customer within Chebyshev radius
     {CELL} (see module docstring for the exact semantics and scale shape).
 
-    Plan: two narrow projections → a ×9 bounded explode on the SMALL side
-    (suppliers) → one (bx, by) equi-join → residual filter → per-customer
-    row_number window. The join key is the composite cell id, so skew is
-    bounded by points-per-cell; the window partitions by customer — one
-    keyed shuffle each, nothing quadratic anywhere."""
+    Plan (dense regime): narrow projections → density-sized fine grid →
+    supplier ×9 explode → one (bx, by) equi-join → residual filter →
+    per-customer struct-min agg (map-side combined, one keyed exchange);
+    undecided customers take expanding-ring passes at doubling radii.
+    At the driver SFs the width selector returns CELL and the plan is the
+    original single level. Nothing quadratic at any density."""
+    return _nearest_grid(spark, sf_dir)
+
+
+def _nearest_grid(spark, sf_dir, fine_cell=None) -> DataFrame:
+    """Exact nearest-within-CELL join; ``fine_cell`` overrides the
+    density-picked fine cell width (tests force the multi-level path at
+    small SF with it). Correctness invariant per level: after searching
+    every cell within offset R of the probe's fine cell, any supplier NOT
+    searched is at coordinate Chebyshev distance > R·w, hence d² > (R·w)²
+    — so a candidate with d² ≤ (R·w)² is the global (d², s_suppkey)-min
+    and its customer finalizes; ties are impossible across the boundary
+    because the exterior bound is strict."""
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey",
         _coord_col("gx", F.col("c_custkey")).alias("cx"),
@@ -117,6 +149,35 @@ def q_geo_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         _coord_col("gx", F.col("s_suppkey")).alias("sx"),
         _coord_col("gy", F.col("s_suppkey")).alias("sy"),
     )
+    # One count to sample density — the same metadata-scale action class as
+    # the PQ training sample (similarity.py); production would use a sketch.
+    w = fine_cell if fine_cell is not None else _pick_fine_cell(supp.count())
+
+    d2 = (
+        (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+        + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+    ).alias("d2")
+    in_radius = (F.abs(F.col("cx") - F.col("sx")) <= CELL) & (
+        F.abs(F.col("cy") - F.col("sy")) <= CELL
+    )
+
+    def best_of(cand: DataFrame) -> DataFrame:
+        # (d², suppkey)-lexicographic min via struct min: partial agg
+        # combines map-side, so the c_custkey exchange carries one row per
+        # customer per input partition, not every candidate.
+        return cand.groupBy("c_custkey").agg(
+            F.min(F.struct("d2", "s_suppkey")).alias("b")
+        )
+
+    def finish(best: DataFrame) -> DataFrame:
+        return best.select(
+            "c_custkey",
+            F.col("b.s_suppkey").alias("s_suppkey"),
+            F.col("b.d2").cast("bigint").alias("d2"),
+        )
+
+    # Level 1: supplier-side ×9 explode on the fine grid (the small side
+    # fans out; every probe stays a single row).
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     se = (
         supp.withColumn("i", off)
@@ -125,35 +186,70 @@ def q_geo_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "sx",
             "sy",
-            (F.expr(f"sx div {CELL}") + F.col("i")).alias("bx"),
-            (F.expr(f"sy div {CELL}") + F.col("j")).alias("by"),
+            (F.expr(f"sx div {w}") + F.col("i")).alias("bx"),
+            (F.expr(f"sy div {w}") + F.col("j")).alias("by"),
         )
     )
     cand = (
         cust.join(
             se,
-            (F.expr(f"cx div {CELL}") == se["bx"])
-            & (F.expr(f"cy div {CELL}") == se["by"]),
+            (F.expr(f"cx div {w}") == se["bx"])
+            & (F.expr(f"cy div {w}") == se["by"]),
         )
-        .filter(
-            (F.abs(F.col("cx") - F.col("sx")) <= CELL)
-            & (F.abs(F.col("cy") - F.col("sy")) <= CELL)
-        )
-        .select(
-            "c_custkey",
-            "s_suppkey",
-            (
-                (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
-                + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
-            ).alias("d2"),
-        )
+        .filter(in_radius)
+        .select("c_custkey", "s_suppkey", d2)
     )
-    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_custkey", "s_suppkey", F.col("d2").cast("bigint").alias("d2"))
+    best = best_of(cand)
+    if w == CELL:
+        # The 3×3 coarse neighborhood already covers the full radius.
+        return finish(best)
+
+    final = best.filter(F.col("b.d2") <= w * w)
+    out = finish(final)
+    undec = cust.join(final, "c_custkey", "left_anti").localCheckpoint(eager=True)
+
+    # Fine-bucketed suppliers, un-exploded: outer rings join against this.
+    sb = supp.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        F.expr(f"sx div {w}").alias("bx"),
+        F.expr(f"sy div {w}").alias("by"),
     )
+    R = 2
+    while True:
+        r = R * w  # Chebyshev radius fully covered by offset-R cells
+        ring = F.explode(F.sequence(F.lit(-R), F.lit(R)))
+        probe = (
+            undec.withColumn("i", ring)
+            .withColumn("j", ring)
+            .select(
+                "c_custkey",
+                "cx",
+                "cy",
+                (F.expr(f"cx div {w}") + F.col("i")).alias("pbx"),
+                (F.expr(f"cy div {w}") + F.col("j")).alias("pby"),
+            )
+        )
+        cand = (
+            probe.join(
+                sb, (F.col("pbx") == sb["bx"]) & (F.col("pby") == sb["by"])
+            )
+            .filter(in_radius)
+            .select("c_custkey", "s_suppkey", d2)
+        )
+        best = best_of(cand)
+        if r >= CELL:
+            # Offset CELL/w covers the whole radius: everyone with a
+            # candidate (post residual filter) finalizes; the rest have no
+            # supplier within CELL and are absent by contract.
+            return out.unionByName(finish(best))
+        final = best.filter(F.col("b.d2") <= r * r)
+        out = out.unionByName(finish(final))
+        undec = undec.join(final, "c_custkey", "left_anti").localCheckpoint(
+            eager=True
+        )
+        R *= 2
 
 
 # ---------------------------------------------------------------------------

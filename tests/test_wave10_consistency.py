@@ -162,3 +162,43 @@ def test_geo_grid_radius_invariant():
     correctness precondition of the bucketing scheme."""
     assert CELL * 3 >= 2 * CELL + 1  # one cell each side covers radius CELL
     assert GRID % CELL == 0
+
+
+def test_geo_nearest_expanding_ring_equals_single_level(spark, sf_dir):
+    """The density-adaptive multi-level path (fine cells + doubling
+    expanding-ring search) computes the SAME function as the one-level
+    coarse plan — forced here with fine_cell=16 at driver SF, which
+    exercises every ring level (16→32→64→128→256) because the fixture is
+    sparse and most customers finalize only in the outer rings."""
+    from finegourmet_spark.operators.spatial import _nearest_grid
+
+    one = {
+        r["c_custkey"]: (r["s_suppkey"], r["d2"])
+        for r in _nearest_grid(spark, sf_dir, fine_cell=CELL).collect()
+    }
+    multi = {
+        r["c_custkey"]: (r["s_suppkey"], r["d2"])
+        for r in _nearest_grid(spark, sf_dir, fine_cell=16).collect()
+    }
+    assert multi == one
+    assert one  # non-degenerate: the radius does match some customers
+
+
+def test_geo_fine_cell_selector_bounds_density():
+    """_pick_fine_cell keeps expected points-per-cell ≤ TARGET_PER_CELL
+    whenever that is reachable with w ≥ MIN_FINE_CELL, returns CELL at
+    driver densities (plan unchanged), and always divides CELL."""
+    from finegourmet_spark.operators.spatial import (
+        MIN_FINE_CELL,
+        TARGET_PER_CELL,
+        _pick_fine_cell,
+    )
+
+    assert _pick_fine_cell(100) == CELL  # sf0.01: stays single-level
+    assert _pick_fine_cell(1_000) == CELL  # sf0.1
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        w = _pick_fine_cell(n)
+        assert CELL % w == 0 and w >= MIN_FINE_CELL
+        if w > MIN_FINE_CELL:
+            assert n * w * w <= TARGET_PER_CELL * GRID * GRID
+    assert _pick_fine_cell(100_000) == 16  # the measured sf10 regime

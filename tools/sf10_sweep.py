@@ -11,8 +11,11 @@ is on output rows: metadata-scale results (aggregates, top-k, profiles —
 the shapes that can hide width bugs) still get the full cross-engine hash.
 
 Usage: python tools/sf10_sweep.py [start_at_name] [end_before_name]
+   or: python tools/sf10_sweep.py --names-file <path>
 (bounds let two sweep halves run in parallel — Spark stages, DuckDB, and
-the single-threaded Python canonicalization overlap across processes)
+the single-threaded Python canonicalization overlap across processes; the
+names-file form takes one query name per line, for resuming a sweep whose
+remaining set is name-sparse — r6 left gaps, not a prefix)
 """
 
 from __future__ import annotations
@@ -51,15 +54,10 @@ SF10_FIXTURE_QUADRATIC = {
     # result-size cap; the custom q_dedup_minhash (32 longs/doc) is the
     # sf10-capable path and DID complete (65.8 s, decade-curve note).
     "q_dedup_minhash_ml",
-    # DENSITY-quadratic (round-6 sweep catch, distinct class from the
-    # content-pair ops above): the grid NN join uses a FIXED 4096^2 space
-    # with CELL=256 == the search radius, so the replicated fixture packs
-    # 1000x the points into the same cells — each customer's radius then
-    # holds ~1.5k suppliers and the candidate join is ~2.4e9 rows (>9 min
-    # observed; result is still 1 row/customer). On real data the cell
-    # size is chosen from density; the density-adaptive variant (finer
-    # cells + expanding-ring search) is the queued r7 fix — see ROADMAP.
-    "q_geo_nearest_grid",
+    # q_geo_nearest_grid was here through r6 (density-quadratic: fixed
+    # CELL=256 grid packed 1000x points/cell → ~2.4e9 candidates, run
+    # killed). Fixed in r7: density-adaptive fine cells + expanding-ring
+    # search (spatial.py module docstring) — now swept like everything else.
 }
 
 # Checkpoint blocks accumulate across queries (the sf1_sweep lesson);
@@ -74,14 +72,23 @@ def main() -> int:
     q = contract.queries()
     o = contract.oracle_sql()
     names = sorted(q)
-    start_at = sys.argv[1] if len(sys.argv) > 1 else None
-    end_before = sys.argv[2] if len(sys.argv) > 2 else None
-    if start_at:
-        names = [n for n in names if n >= start_at]
-    if end_before:
-        names = [n for n in names if n < end_before]
+    if len(sys.argv) > 2 and sys.argv[1] == "--names-file":
+        wanted = [ln.strip() for ln in open(sys.argv[2]) if ln.strip()]
+        unknown = sorted(set(wanted) - set(names))
+        if unknown:
+            print(f"unknown query names in {sys.argv[2]}: {unknown}")
+            return 2
+        names = [n for n in names if n in set(wanted)]
+    else:
+        start_at = sys.argv[1] if len(sys.argv) > 1 else None
+        end_before = sys.argv[2] if len(sys.argv) > 2 else None
+        if start_at:
+            names = [n for n in names if n >= start_at]
+        if end_before:
+            names = [n for n in names if n < end_before]
     t_start = time.time()
     fails = []
+    skips = []
     spark = None
     for i, name in enumerate(names):
         if i % SESSION_CHUNK == 0:
@@ -93,6 +100,7 @@ def main() -> int:
             print(f"[{i + 1}/{len(names)}] {name}: skipped "
                   "[fixture-quadratic content pairs at 100-copy duplication]",
                   flush=True)
+            skips.append(name)
             continue
         try:
             df = q[name](spark, SF10)
@@ -110,8 +118,10 @@ def main() -> int:
             fails.append(name)
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
               flush=True)
-    print(f"DONE {len(names) - len(fails)}/{len(names)} ok in "
-          f"{(time.time() - t_start) / 60:.1f} min; failures: {fails}",
+    n_ok = len(names) - len(fails) - len(skips)
+    print(f"DONE {n_ok}/{len(names)} ok, {len(skips)} skipped {skips}, "
+          f"{len(fails)} failed {fails} in "
+          f"{(time.time() - t_start) / 60:.1f} min",
           flush=True)
     return 1 if fails else 0
 
