@@ -133,6 +133,9 @@ _PRIORITY = [
     "q_dedup_rownum", "q_sort_multi", "q_union", "q_intersect", "q_except",
     "q_distinct", "q_surrogate_keys", "q_pivot",
     "q_array_funcs", "q_map_funcs",
+    # ---- r7 wave (registered at END: window-eligible for r8, must not
+    #      displace anything the r7 window re-confirms) -----------------
+    "q_graph_jaccard_capped",
 ]
 
 

@@ -316,32 +316,245 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation trick does not apply; the production knob is a hub cap
     (drop centers above a degree ceiling, documented-approximate) or the
     min-common HAVING pushed into a semi-join prefilter. The final
-    metadata-scale rank window runs on the thresholded candidate set."""
+    metadata-scale rank window runs on the thresholded candidate set.
+    `q_graph_jaccard_capped` below IS that production knob — same
+    pipeline with per-center fan-out capped at {JACC_HUB_CAP}."""
+    return _jaccard_topk(spark, sf_dir, hub_cap=None)
+
+
+JACC_HUB_CAP = 48  # sampled neighbors per hub center in the capped variant
+_PPM = 1_000_000
+# ~2M pair keys per task keeps the final hash-agg map ≈ 80 MB — 32
+# concurrent local tasks then fit a default 8 GB heap with headroom.
+_WEDGE_ROWS_PER_PART = 2_000_000
+
+
+def _evidence_partitions(n_wedges: int, base: int) -> int:
+    """Partition count for the (u, v) pair-evidence exchange: never below
+    the session default, one partition per {_WEDGE_ROWS_PER_PART} wedge
+    rows above it, capped at 4096 (AQE coalesces unneeded ones at low
+    SF). sf1's ~1.25e9 wedges → ~628 partitions → ≈80 MB agg maps."""
+    return max(base, min(4096, 1 + n_wedges // _WEDGE_ROWS_PER_PART))
+
+
+def _hub_capped(edges: DataFrame, deg: DataFrame, cap: int) -> DataFrame:
+    """Hub-sampled adjacency with Horvitz-Thompson wedge weights: centers
+    with degree ≤ ``cap`` keep every neighbor (weight 1e6 ppm); hub
+    centers keep the ``cap`` neighbors with the smallest portable md5
+    permutation value (the same cross-engine hash the spatial grid uses,
+    spatial.py:_coord_col — both engines keep the SAME sample, so the
+    capped query has a full DuckDB oracle instead of a rows-only waiver).
+    A wedge through a sampled hub survives with inclusion probability
+    cap(cap−1)/(d(d−1)), so its HT weight is the floor-ppm inverse
+    ``(1e6·d·(d−1)) div (cap·(cap−1))`` — the per-pair weight sum is an
+    (almost-)unbiased integer estimate of the true common-neighbor count.
+    One src-keyed exchange + a node-scale degree join; the in-partition
+    sort is d·log d per center."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("jcap"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("src").orderBy(h, "dst")
+    kept = (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("src", "dst")
+    )
+    return kept.join(deg, "src").select(
+        "src",
+        "dst",
+        F.when(F.col("d") <= cap, F.lit(_PPM).cast("bigint"))
+        .otherwise(
+            F.expr(f"({_PPM}L * d * (d - 1)) div ({cap} * ({cap} - 1))")
+        )
+        .alias("w_ppm"),
+    )
+
+
+def _jacc_hash_sql() -> str:
+    """DuckDB twin of the capping permutation (7 hex chars < 2^28)."""
+    return (
+        "CAST(('0x' || substring(md5('jcap' || CAST(src AS VARCHAR) || ':'"
+        " || CAST(dst AS VARCHAR)), 1, 7)) AS BIGINT)"
+    )
+
+
+@query(
+    "q_graph_jaccard_capped",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    hcap AS (
+      SELECT t.src, t.dst,
+             CASE WHEN g.d <= {JACC_HUB_CAP} THEN CAST({_PPM} AS BIGINT)
+                  ELSE CAST({_PPM} AS BIGINT) * g.d * (g.d - 1)
+                       // ({JACC_HUB_CAP} * ({JACC_HUB_CAP} - 1))
+             END AS w_ppm
+      FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY {_jacc_hash_sql()}, dst) AS rk
+        FROM edges) t
+      JOIN deg g ON g.src = t.src
+      WHERE t.rk <= {JACC_HUB_CAP}
+    ),
+    wedges AS (
+      SELECT x.dst AS u, y.dst AS v,
+             CAST(sum(x.w_ppm) AS BIGINT) AS common_ppm
+      FROM hcap x JOIN hcap y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY 1, 2
+      HAVING sum(x.w_ppm) >= {JACC_MIN_COMMON} * {_PPM}
+    ), cand AS (
+      SELECT w.u, w.v, w.common_ppm
+      FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.src = w.u AND e.dst = w.v)
+    ), jac AS (
+      -- clamp the HT estimate at its logical ceiling 1e6*min(d_u, d_v):
+      -- true common can never exceed the smaller neighborhood, and the
+      -- clamp keeps the union denominator strictly positive (an
+      -- unclamped lucky all-hub-wedge estimate can overshoot 1e6*(du+dv),
+      -- where Spark's truncating `div` and DuckDB's flooring `//` would
+      -- disagree on the negative result)
+      SELECT c.u, c.v,
+             least(c.common_ppm,
+                   {_PPM}::BIGINT * least(du.d, dv.d)) AS common_ppm,
+             CAST(({_PPM} * least(c.common_ppm,
+                                  {_PPM}::BIGINT * least(du.d, dv.d)))
+                  // ({_PPM}::BIGINT * (du.d + dv.d)
+                      - least(c.common_ppm,
+                              {_PPM}::BIGINT * least(du.d, dv.d)))
+               AS BIGINT) AS jaccard_ppm
+      FROM cand c
+      JOIN deg du ON du.src = c.u
+      JOIN deg dv ON dv.src = c.v
+    )
+    SELECT CAST(row_number() OVER (ORDER BY jaccard_ppm DESC, u, v) AS INT)
+             AS rank,
+           u AS part_a, v AS part_b, common_ppm, jaccard_ppm
+    FROM jac
+    ORDER BY jaccard_ppm DESC, u, v
+    LIMIT {JACC_TOPN}
+    """,
+)
+def q_graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of :func:`q_graph_jaccard_neighbors`: wedge
+    evidence is counted over a HUB-SAMPLED adjacency — each center keeps
+    at most {JACC_HUB_CAP} neighbors chosen by a portable md5 permutation
+    — and every surviving wedge carries its Horvitz-Thompson inverse-
+    inclusion weight d(d−1)/(D(D−1)) in floor ppm, so the per-pair weight
+    sum `common_ppm` is an (almost-)unbiased integer estimate of 1e6× the
+    true shared-neighbor count. Degrees in the Jaccard denominator stay
+    EXACT; the MIN_COMMON floor and the final ranking apply to the
+    estimate. Deterministic in both engines (the sample is the same md5
+    permutation on both sides), hence a full DuckDB oracle — the driver
+    hash-checks the estimator itself, not just row counts.
+
+    Why it scales where the exact form cannot: exact wedge fan-out per
+    center is C(d,2) — Σd² in total; this graph's degrees (p50≈115 at
+    sf0.01, SF-invariant ≈ items-per-order × orders-per-part) put that at
+    ~1.3e9 wedge rows at sf1, the measured 48 GB heap. The sampled form
+    is ≤ C({JACC_HUB_CAP},2)=1128 rows per center — LINEAR in node count
+    at any density. Width audit (ppm rule): common_ppm ≤ 1e6·d_max²/D —
+    degree is entity-bounded (≈150 at any SF), so 1e6·common_ppm peaks
+    ~1e12·d_max, far inside BIGINT; nothing here is a data-scaling sum.
+
+    VALIDITY REGIME (measured, r7): an HT estimate ranks reliably only
+    when per-pair evidence ≫ the inverse-inclusion weight — i.e. on
+    hub-skewed graphs where strong pairs share MANY capped centers. On
+    the testdata co-purchase graph the degree distribution is FLAT
+    (p50≈115, max≈206 — no hubs) and the exact top-{JACC_TOPN} by Jaccard
+    carries only common 5–9; there, top-k-by-estimate selects sampling
+    noise (measured recall 0 at every SF, any cap < typical degree — a
+    property of the fixture, not a bug), and the EXACT form with its
+    cost-sized evidence exchange (now 8 GB-heap-safe at sf1, see
+    `_jaccard_topk`) is the correct route. The estimator property itself
+    is pinned by tests/test_eventflow_graph.py in its valid regime:
+    exact equality (modulo the ppm scale) when the cap exceeds the max
+    degree, and bounded relative error on the strongest-evidence pairs
+    (true common 74–85 at sf0.001 → measured median rel-err 0.13, max
+    0.25 — deterministic, the permutation is fixed)."""
+    return _jaccard_topk(spark, sf_dir, hub_cap=JACC_HUB_CAP)
+
+
+def _jaccard_topk(
+    spark: SparkSession, sf_dir: str, hub_cap: int | None
+) -> DataFrame:
+    """Shared wedge→candidate→Jaccard→top-k pipeline. ``hub_cap=None`` is
+    the exact form (unit wedge weights, plain counts); an integer cap
+    switches to the HT-weighted sampled form, whose evidence column is
+    ppm-scaled (`common_ppm`)."""
     edges = _edges(spark, sf_dir)
-    x = edges.select(F.col("src").alias("c_"), F.col("dst").alias("u"))
-    y = edges.select(F.col("src").alias("c2"), F.col("dst").alias("v"))
+    deg = _degrees(edges)
+    if hub_cap is None:
+        adj = edges.withColumn("w_ppm", F.lit(1).cast("bigint"))
+        min_common = JACC_MIN_COMMON
+        ev_col = "common"
+        den = "(du + dv) - common"
+    else:
+        adj = _hub_capped(edges, deg, hub_cap)
+        min_common = JACC_MIN_COMMON * _PPM
+        ev_col = "common_ppm"
+        # the estimate rides clamped at 1e6·min(du, dv) — true common never
+        # exceeds the smaller neighborhood, and the clamp keeps the union
+        # denominator strictly positive (negative-operand div/floor-div
+        # semantics differ across engines; see the oracle comment)
+        clamp = f"least(common_ppm, {_PPM}L * least(du, dv))"
+        den = f"{_PPM}L * (du + dv) - {clamp}"
+    x = adj.select(F.col("src").alias("c_"), F.col("dst").alias("u"), "w_ppm")
+    y = adj.select(F.col("src").alias("c2"), F.col("dst").alias("v"))
+    # Cost-based sizing of the pair-evidence exchange (the r6 48 GB-heap
+    # lesson): the wedge row count is EXACTLY Σ C(min(d, cap), 2), a
+    # node-scale aggregate over the degree frame we already need — size
+    # the (u, v) shuffle so each task's hash-agg map stays small instead
+    # of inheriting spark.sql.shuffle.partitions (32 partitions × ~40M
+    # near-unique pair keys each is how sf1 OOMed an 8 GB heap). The
+    # scalar fetch is metadata-scale, the same action class as the CC
+    # convergence checks (dedup.py).
+    eff = F.least(F.col("d"), F.lit(hub_cap)) if hub_cap else F.col("d")
+    n_wedges = (
+        deg.agg(F.sum(eff * (eff - F.lit(1)) / F.lit(2))).first()[0] or 0
+    )
+    try:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parts = 32
+    parts = _evidence_partitions(int(n_wedges), base_parts)
     wedges = (
         x.join(y, (F.col("c_") == F.col("c2")) & (F.col("u") < F.col("v")))
+        .repartition(parts, "u", "v")
         .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .filter(F.col("common") >= JACC_MIN_COMMON)
+        .agg(F.sum("w_ppm").alias(ev_col))
+        .filter(F.col(ev_col) >= min_common)
     )
     cand = wedges.join(
         edges,
         (wedges["u"] == edges["src"]) & (wedges["v"] == edges["dst"]),
         "left_anti",
     )
-    deg = _degrees(edges)
     du = deg.select(F.col("src").alias("un"), F.col("d").alias("du"))
     dv = deg.select(F.col("src").alias("vn"), F.col("d").alias("dv"))
+    ev_out = F.col(ev_col) if hub_cap is None else F.expr(clamp)
+    num = ev_col if hub_cap is None else clamp
     jac = (
         cand.join(du, cand["u"] == du["un"])
         .join(dv, cand["v"] == dv["vn"])
         .select(
             "u",
             "v",
-            "common",
-            F.expr("(1000000 * common) div (du + dv - common)")
+            ev_out.alias(ev_col),
+            F.expr(f"({_PPM} * {num}) div ({den})")
             .cast("bigint")
             .alias("jaccard_ppm"),
         )
@@ -352,7 +565,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("rank"),
         F.col("u").alias("part_a"),
         F.col("v").alias("part_b"),
-        "common",
+        ev_col,
         "jaccard_ppm",
     )
 

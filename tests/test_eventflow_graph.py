@@ -293,3 +293,90 @@ def test_rolling_active_users_matches_python_model(spark, sf_dir):
             dau[d] += 1
     for rd in observed:
         assert got[rd] >= dau[rd]
+
+
+def test_jaccard_capped_equals_exact_with_huge_cap(spark, sf_dir):
+    """With the cap above every degree no center is sampled, all HT
+    weights are exactly 1e6 ppm, and the capped pipeline must reproduce
+    the exact top-20 — same pairs, same ranks, evidence scaled by 1e6,
+    identical jaccard_ppm (the ppm numerator and denominator both carry
+    the 1e6 factor, which cancels under floor division... but floor(a/b)
+    == floor(ka/kb) exactly, so the scores match bit-for-bit)."""
+    from finegourmet_spark.operators.graph import _jaccard_topk
+
+    exact = _jaccard_topk(spark, sf_dir, None).collect()
+    capped = _jaccard_topk(spark, sf_dir, 10**6).collect()
+    assert [(r.rank, r.part_a, r.part_b) for r in exact] == [
+        (r.rank, r.part_a, r.part_b) for r in capped
+    ]
+    for e, c in zip(exact, capped):
+        assert c.common_ppm == 1_000_000 * e.common
+        assert c.jaccard_ppm == e.jaccard_ppm
+    assert exact, "fixture should produce a non-empty top-20"
+
+
+def test_jaccard_capped_estimator_error_bound(spark, sf_dir):
+    """HT estimator property in its VALID regime (evidence ≫ weight): for
+    the 20 non-adjacent... actually all co-neighbor pairs with the LARGEST
+    true common count (74–85 at sf0.001, vs inverse-inclusion weights
+    ≈3.5), the ppm-weighted estimate stays within bounded relative error.
+    Deterministic — the sampling permutation is a fixed md5, so measured
+    errors (median 0.131, max 0.251) never drift; bounds carry ~2×
+    headroom. This is the documented-approximate contract of
+    q_graph_jaccard_capped: reliable where evidence is strong, noise
+    where common is near MIN_COMMON (see its docstring's regime note)."""
+    import pyspark.sql.functions as F
+
+    from finegourmet_spark.operators.graph import (
+        JACC_HUB_CAP,
+        _degrees,
+        _edges,
+        _hub_capped,
+    )
+
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+
+    def evidence(adj, agg, name):
+        x = adj.select(
+            F.col("src").alias("c_"), F.col("dst").alias("u"),
+            *(["w_ppm"] if name == "est_ppm" else []),
+        )
+        y = adj.select(F.col("src").alias("c2"), F.col("dst").alias("v"))
+        return (
+            x.join(y, (F.col("c_") == F.col("c2")) & (F.col("u") < F.col("v")))
+            .groupBy("u", "v")
+            .agg(agg.alias(name))
+        )
+
+    top_true = (
+        evidence(edges, F.count(F.lit(1)), "true_c")
+        .orderBy(F.desc("true_c"), "u", "v")
+        .limit(20)
+    )
+    est = evidence(
+        _hub_capped(edges, deg, JACC_HUB_CAP), F.sum("w_ppm"), "est_ppm"
+    )
+    rows = (
+        top_true.join(est, ["u", "v"], "left")
+        .select("true_c", F.coalesce("est_ppm", F.lit(0)).alias("est_ppm"))
+        .collect()
+    )
+    assert len(rows) == 20
+    rel = sorted(abs(r.est_ppm / 1e6 - r.true_c) / r.true_c for r in rows)
+    assert rel[len(rel) // 2] <= 0.30, f"median rel err {rel[len(rel)//2]}"
+    assert rel[-1] <= 0.50, f"max rel err {rel[-1]}"
+
+
+def test_jaccard_evidence_partition_sizing():
+    """The pair-evidence exchange is sized from the EXACT node-scale wedge
+    count Σ C(d,2) — never below the session default, ~2M rows per task,
+    capped at 4096 (the r6 48 GB-heap class: 1.25e9 wedges into 32
+    partitions OOMed; 628 partitions of ≈80 MB agg maps fit 8 GB)."""
+    from finegourmet_spark.operators.graph import _evidence_partitions
+
+    assert _evidence_partitions(0, 32) == 32
+    assert _evidence_partitions(10_000_000, 32) == 32  # sf0.01-scale: default
+    assert _evidence_partitions(1_254_000_000, 32) == 628  # measured sf1
+    assert _evidence_partitions(10**12, 32) == 4096  # clamp
+    assert _evidence_partitions(1_254_000_000, 1024) == 1024  # never below base
