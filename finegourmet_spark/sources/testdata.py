@@ -26,10 +26,6 @@ TABLES = [
     "embeddings",
 ]
 
-# Small dimension tables that should always broadcast in star joins.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Column pruning + predicate pushdown reach the
     parquet scan because we return the raw declarative scan (no caching,

@@ -32,6 +32,19 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
         con.close()
 
 
+def _is_scalar_na(v: Any) -> bool:
+    """True for scalar missing sentinels (None, float NaN, pandas NaT,
+    Decimal('NaN')) — the values the mixed-dtype check must ignore.
+    Non-scalars (lists, arrays) are never 'na' here: pd.isna would return
+    an elementwise array for them, so they are checked as real values."""
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def _canon(v: Any) -> str:
     if v is None:
         return "∅"
@@ -167,7 +180,10 @@ def driver_canon_problems(cols: list[str], rows: list[tuple], side: str) -> list
             kinds = {
                 type(v).__name__
                 for v in s
-                if v is not None and not (isinstance(v, float) and math.isnan(v))
+                # pd.isna covers None, float NaN, NaT and Decimal('NaN')
+                # uniformly (ADVICE r6); guard non-scalars (lists/arrays),
+                # for which pd.isna returns an elementwise array
+                if not (_is_scalar_na(v))
             }
             if len(kinds) > 1:
                 problems.append(

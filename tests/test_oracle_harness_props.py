@@ -134,9 +134,21 @@ def test_base_testdata_has_no_nulls(sf_dir):
     import duckdb
 
     con = duckdb.connect()
-    tables = ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings")
-    for tbl in tables:
+    # derive from the live table list (ADVICE r6): a driver-added table
+    # must not silently skip the NULL-free precondition this test pins
+    from finegourmet_spark.sources.testdata import TABLES
+
+    import glob as _glob
+    import os as _os
+
+    on_disk = {
+        _os.path.splitext(_os.path.basename(p))[0]
+        for p in _glob.glob(f"{sf_dir}/*.parquet")
+    }
+    assert on_disk <= set(TABLES), (
+        f"fixture dir has tables unknown to TABLES: {sorted(on_disk - set(TABLES))}"
+    )
+    for tbl in TABLES:
         path = f"{sf_dir}/{tbl}.parquet"
         cols = [
             r[0]
