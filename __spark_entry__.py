@@ -31,6 +31,7 @@ import finegourmet_spark.operators.multimodal  # noqa: F401
 import finegourmet_spark.operators.lakehouse  # noqa: F401
 import finegourmet_spark.operators.spatial  # noqa: F401
 import finegourmet_spark.streaming.windows  # noqa: F401
+import finegourmet_spark.streaming.cdc  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
 # Registration order is the driver's sampling order: the driver checks the
@@ -135,7 +136,7 @@ _PRIORITY = [
     "q_array_funcs", "q_map_funcs",
     # ---- r7 wave (registered at END: window-eligible for r8, must not
     #      displace anything the r7 window re-confirms) -----------------
-    "q_graph_jaccard_capped",
+    "q_graph_jaccard_capped", "q_graph_lpa_users", "q_stream_scd2_cdc",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Streaming CDC → SCD2 dimension maintenance (VERDICT r6 item 5).
+
+The reference's load path appends conformed rows batch-by-batch
+(/root/reference/etl/loader.py:79 — append-mode CDC in spirit); the
+Spark-native generalization is a CHANGE-DATA-CAPTURE applier that folds
+(key, op, new_value, eff_date) events into a slowly-changing-dimension
+history. Two forms, one transition function:
+
+  * ``q_stream_scd2_cdc`` — the registered batch-equivalent: TWO
+    deterministic CDC batches (derived from ``customer``) folded in event
+    order through :func:`apply_scd2_batch`, DuckDB-oracle-checked. It
+    extends ``q_scd2_apply_cdc`` (relational.py — ONE batch against a
+    fresh dim) with the multi-batch semantics streaming actually needs:
+    close-then-reopen chains, updates against already-closed keys,
+    re-inserts of deleted keys.
+  * ``stream_scd2_apply`` — the live form: ``readStream`` of CDC events →
+    ``foreachBatch`` folding the SAME ``apply_scd2_batch`` into a
+    versioned parquet dimension store. Versioning by batch id gives
+    exactly-once on plain parquet: batch N always reads version N−1 and
+    overwrites version N, so a replayed batch sees exactly the state of
+    its first attempt (the sinks.py digest-store argument). At 100 TB the
+    store is a lakehouse table and the fold is a MERGE (star/load.py:206
+    demonstrates the JDBC MERGE); the per-batch transition is unchanged.
+
+Op semantics (documented contract — both engines, both forms):
+  U  upsert: close the key's CURRENT row (valid_to = eff) if one exists,
+     open a new row [eff, ∞). A U against a deleted/absent key re-inserts.
+  D  delete: close the current row; history is kept (no physical delete).
+  I  insert: open a new row (keys constructed fresh by the derivations).
+One op per key per batch (the derivations below guarantee it; a real
+ingest would pre-collapse per-key op sequences the way q_snapshot_diff_cdc
+derives net changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finegourmet_spark.operators.registry import query
+from finegourmet_spark.sources.testdata import load_table as t
+
+SCD2_T0 = "2024-01-01"  # initial-load effective date
+SCD2_EFF1 = "2024-03-01"  # batch-1 effective date
+SCD2_EFF2 = "2024-06-01"  # batch-2 effective date
+# inserted surrogate keys sit far above any driver-scale custkey
+# (sf10 tops out at 1.5M; these stay collision-free past sf600)
+_INS1 = 100_000_000
+_INS2 = 200_000_000
+
+CDC_SCHEMA = "k BIGINT, op STRING, new_seg STRING, eff DATE"
+
+
+def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
+    """Fold ONE CDC batch into an SCD2 dimension — the single transition
+    function both the registered batch query and the streaming applier
+    use, so the two can never drift (the sinks.py shared-normalizer
+    lesson). ``dim``: (k, seg, valid_from, valid_to); ``cdc``: (k, op,
+    new_seg, eff). Plan shape: one k-keyed left join (CDC batches are
+    bounded per trigger → AQE broadcasts the cdc side) + a union with the
+    opened rows — no windows, no shuffles beyond the join key."""
+    ud = cdc.filter(F.col("op").isin("U", "D")).select(
+        F.col("k").alias("ck"), F.col("eff").alias("ceff")
+    )
+    folded = dim.join(ud, dim["k"] == F.col("ck"), "left").select(
+        dim["k"],
+        "seg",
+        "valid_from",
+        F.when(
+            F.col("ck").isNotNull() & dim["valid_to"].isNull(), F.col("ceff")
+        )
+        .otherwise(dim["valid_to"])
+        .alias("valid_to"),
+    )
+    opened = cdc.filter(F.col("op").isin("U", "I")).select(
+        "k",
+        F.col("new_seg").alias("seg"),
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return folded.unionByName(opened)
+
+
+def initial_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial SCD2 load: every customer current since {SCD2_T0}."""
+    return t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(SCD2_T0).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+
+
+def cdc_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The two deterministic CDC batches the oracle mirrors. Batch 2
+    deliberately exercises the multi-batch chains: k%35 keys are updated
+    in BOTH batches (close→reopen→close→reopen), k%13∧k%5 keys are
+    deleted then re-inserted via U, and updates against batch-1 deletions
+    hit a key with no current row."""
+    k = F.col("c_custkey")
+    cust = t(spark, sf_dir, "customer").select(k.alias("k"))
+
+    def rows(flt, op, seg, eff, offset=0):
+        return cust.filter(flt).select(
+            (F.col("k") + offset).alias("k"),
+            F.lit(op).alias("op"),
+            (F.lit(seg) if seg else F.lit(None).cast("string")).alias(
+                "new_seg"
+            ),
+            F.lit(eff).cast("date").alias("eff"),
+        )
+
+    kk = F.col("k")
+    b1 = (
+        rows(kk % 7 == 0, "U", "WEB", SCD2_EFF1)
+        .unionByName(rows((kk % 13 == 0) & (kk % 7 != 0), "D", None, SCD2_EFF1))
+        .unionByName(rows(kk % 11 == 0, "I", "NEW", SCD2_EFF1, offset=_INS1))
+    )
+    b2 = (
+        rows(kk % 5 == 0, "U", "MOB", SCD2_EFF2)
+        .unionByName(rows((kk % 17 == 0) & (kk % 5 != 0), "D", None, SCD2_EFF2))
+        .unionByName(rows(kk % 19 == 0, "I", "NEW2", SCD2_EFF2, offset=_INS2))
+    )
+    return [b1, b2]
+
+
+def _cdc_sql(batch: int) -> str:
+    """DuckDB twin of :func:`cdc_batches`."""
+    if batch == 1:
+        return f"""
+      SELECT c_custkey AS k, 'U' AS op, 'WEB' AS new_seg,
+             DATE '{SCD2_EFF1}' AS eff FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, DATE '{SCD2_EFF1}' FROM customer
+      WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + {_INS1}, 'I', 'NEW', DATE '{SCD2_EFF1}'
+      FROM customer WHERE c_custkey % 11 = 0"""
+    return f"""
+      SELECT c_custkey AS k, 'U' AS op, 'MOB' AS new_seg,
+             DATE '{SCD2_EFF2}' AS eff FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, DATE '{SCD2_EFF2}' FROM customer
+      WHERE c_custkey % 17 = 0 AND c_custkey % 5 <> 0
+      UNION ALL
+      SELECT c_custkey + {_INS2}, 'I', 'NEW2', DATE '{SCD2_EFF2}'
+      FROM customer WHERE c_custkey % 19 = 0"""
+
+
+_FOLD_SQL = """
+    {out} AS (
+      SELECT d.k, d.seg, d.valid_from,
+             CASE WHEN c.k IS NOT NULL AND d.valid_to IS NULL THEN c.eff
+                  ELSE d.valid_to END AS valid_to
+      FROM {dim} d LEFT JOIN (SELECT k, eff FROM {cdc}
+                              WHERE op IN ('U', 'D')) c ON c.k = d.k
+      UNION ALL
+      SELECT k, new_seg, eff, CAST(NULL AS DATE)
+      FROM {cdc} WHERE op IN ('U', 'I')
+    )"""
+
+
+@query(
+    "q_stream_scd2_cdc",
+    oracle=f"""
+    WITH dim0 AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             DATE '{SCD2_T0}' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ), cdc1 AS ({_cdc_sql(1)}
+    ), {_FOLD_SQL.format(out="dim1", dim="dim0", cdc="cdc1")[5:]},
+    cdc2 AS ({_cdc_sql(2)}
+    ), {_FOLD_SQL.format(out="dim2", dim="dim1", cdc="cdc2")[5:]}
+    SELECT k AS custkey, seg, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM dim2
+    """,
+)
+def q_stream_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch CDC fold into an SCD2 dimension — the batch-equivalent
+    of :func:`stream_scd2_apply` (same transition function per batch; the
+    streaming twin folds the same batches through foreachBatch and lands
+    the identical history, asserted by tests/test_streaming.py). See the
+    module docstring for op semantics and the chains batch 2 exercises."""
+    dim = initial_dim(spark, sf_dir)
+    for cdc in cdc_batches(spark, sf_dir):
+        dim = apply_scd2_batch(dim, cdc)
+    return dim.select(
+        F.col("k").alias("custkey"),
+        "seg",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def stream_scd2_apply(
+    cdc_stream: DataFrame, dim_dir: str, checkpoint_dir: str
+):
+    """Live CDC applier: fold each micro-batch of (k, op, new_seg, eff)
+    events into a VERSIONED parquet dimension store via the shared
+    :func:`apply_scd2_batch`. Exactly-once on plain parquet: batch N
+    reads ``v=N-1`` (``v=init`` for the first) and overwrites ``v=N`` —
+    a replayed batch re-reads the untouched input version and reproduces
+    byte-identical output. The store rewrite is full-dimension per batch
+    (dimension-scale, not fact-scale); a lakehouse MERGE replaces it at
+    production scale with the same transition."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = f"{dim_dir}/v={batch_id - 1}" if batch_id > 0 else f"{dim_dir}/v=init"
+        dim = spark.read.parquet(prev)
+        apply_scd2_batch(dim, batch_df).write.mode("overwrite").parquet(
+            f"{dim_dir}/v={batch_id}"
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd2_dim(spark: SparkSession, dim_dir: str) -> DataFrame:
+    """Latest version of the streamed dimension store."""
+    import glob
+    import os
+
+    versions = [
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(f"{dim_dir}/v=*")
+        if not p.endswith("v=init")
+    ]
+    path = f"{dim_dir}/v={max(versions)}" if versions else f"{dim_dir}/v=init"
+    return spark.read.parquet(path)

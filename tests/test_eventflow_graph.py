@@ -380,3 +380,46 @@ def test_jaccard_evidence_partition_sizing():
     assert _evidence_partitions(1_254_000_000, 32) == 628  # measured sf1
     assert _evidence_partitions(10**12, 32) == 4096  # clamp
     assert _evidence_partitions(1_254_000_000, 1024) == 1024  # never below base
+
+
+def test_lpa_users_matches_python_model(spark, sf_dir):
+    """User-user temporal-adjacency LPA against a pure-Python model:
+    identical edge construction (lag within (event_type, day), ordered by
+    (ts, event_id), self-pairs dropped, symmetrized+deduped) and the same
+    synchronous min-tie-break rounds."""
+    from finegourmet_spark.operators.graph import LPA_ROUNDS
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .collect(),
+        key=lambda r: (r.event_type, r.ts.date(), r.ts, r.event_id),
+    )
+    edges = set()
+    prev_key, prev_user = None, None
+    for r in ev:
+        k = (r.event_type, r.ts.date())
+        if k == prev_key and prev_user is not None and prev_user != r.user_id:
+            edges.add((r.user_id, prev_user))
+            edges.add((prev_user, r.user_id))
+        prev_key, prev_user = k, r.user_id
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[s].append(d)
+    labels = {n: n for n in nbrs}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n in nbrs:
+            cnt = Counter(labels[d] for d in nbrs[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    sizes = Counter(labels.values())
+    expected = {n: (lab, sizes[lab]) for n, lab in labels.items()}
+    got = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in QUERIES["q_graph_lpa_users"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should produce a non-trivial user graph"
+    assert max(sizes.values()) > 1, "at least one multi-user community"

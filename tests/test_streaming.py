@@ -514,3 +514,66 @@ def test_stream_join_batch_twin_equivalence(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert batch, "fixture must produce at least one in-window pair"
+
+
+def test_stream_scd2_cdc_matches_batch_fold(spark, tmp_path, sf_dir):
+    """The streaming CDC applier (foreachBatch over a file source, one
+    micro-batch per CDC file via maxFilesPerTrigger=1) lands the SAME
+    SCD2 history as the registered batch query — same transition
+    function folded the same number of times, so the assertion is exact
+    row-set equality. Also pins replay idempotence: re-folding batch 1
+    against its (untouched) input version reproduces identical output —
+    the versioned-store exactly-once argument."""
+    from finegourmet_spark.operators.registry import QUERIES
+    from finegourmet_spark.streaming.cdc import (
+        CDC_SCHEMA,
+        apply_scd2_batch,
+        cdc_batches,
+        initial_dim,
+        read_scd2_dim,
+        stream_scd2_apply,
+    )
+
+    cdc_in = str(tmp_path / "cdc_in")
+    dim_dir = str(tmp_path / "dim_store")
+    os.makedirs(cdc_in, exist_ok=True)
+    # one file per CDC batch, named so listing order == event order
+    for i, b in enumerate(cdc_batches(spark, sf_dir)):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{cdc_in}/b{i}")
+        (part,) = [
+            f for f in os.listdir(f"{cdc_in}/b{i}") if f.endswith(".parquet")
+        ]
+        os.rename(f"{cdc_in}/b{i}/{part}", f"{cdc_in}/batch_{i}.parquet")
+    initial_dim(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{dim_dir}/v=init"
+    )
+    src = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{cdc_in}/batch_*.parquet")
+    )
+    q = stream_scd2_apply(src, dim_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = read_scd2_dim(spark, dim_dir).select(
+        "k", "seg", "valid_from", "valid_to"
+    )
+    batch = QUERIES["q_stream_scd2_cdc"](spark, sf_dir).select(
+        F.col("custkey").alias("k"), "seg", "valid_from", "valid_to"
+    )
+    key = lambda r: (r.k, r.seg or "", str(r.valid_from), str(r.valid_to))  # noqa: E731
+    assert sorted(streamed.collect(), key=key) == sorted(
+        batch.collect(), key=key
+    )
+    # replay batch id 1: reads v=0 (untouched) -> byte-identical v=1
+    v1_before = sorted(
+        spark.read.parquet(f"{dim_dir}/v=1").collect(), key=key
+    )
+    replay = spark.read.parquet(f"{cdc_in}/batch_1.parquet")
+    apply_scd2_batch(
+        spark.read.parquet(f"{dim_dir}/v=0"), replay
+    ).write.mode("overwrite").parquet(f"{dim_dir}/v=1")
+    assert (
+        sorted(spark.read.parquet(f"{dim_dir}/v=1").collect(), key=key)
+        == v1_before
+    )
