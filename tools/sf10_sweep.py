@@ -38,6 +38,15 @@ SPARK_SIDE_ONLY = {
     "q_dedup_semantic_clusters", "q_fuzzy_join_levenshtein",
     "q_graph_triangles", "q_golden_record", "q_dedup_chunks",
     "q_dedup_ngram_jaccard", "q_dedup_embedding",
+    # r7 sweep catch: every oracle built on the part-graph _EDGE_SQL CTE
+    # (DISTINCT over the order self-join) materializes ~1e9 pair rows in
+    # DuckDB temp at sf10 — q_graph_bfs_hops filled 44 GB of temp and died
+    # (399 s), q_graph_jaccard_capped's weighted-wedge CTE repeated it.
+    # The Spark sides run fine (partial aggs + spill); rows-only here.
+    # q_graph_lpa_users is NOT in this set: its user-graph edges come from
+    # an events-scale lag window (~10M rows at sf10), DuckDB-feasible.
+    "q_graph_bfs_hops", "q_graph_pagerank", "q_graph_label_propagation",
+    "q_graph_jaccard_capped",
 }
 
 # Skipped entirely at sf10: ops that pair documents/names on CONTENT. The
