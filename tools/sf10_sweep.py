@@ -123,6 +123,20 @@ def main() -> int:
                 status = f"rows-only {n} [{why}]"
         except Exception as ex:  # noqa: BLE001
             status = f"ERROR {str(ex)[:200]}"
+            # a fatal executor event (disk-full spill, OOM) can stop the
+            # whole local SparkContext — without a restart every later
+            # query in the chunk ERRORs spuriously (the r7 cascade)
+            try:
+                alive = not spark.sparkContext._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001
+                alive = False
+            if not alive:
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                spark = get_spark(app_name="sf10_sweep")
+                status += " [stopped context: session restarted]"
         if status.startswith(("FAIL", "ERROR")):
             fails.append(name)
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
