@@ -63,6 +63,14 @@ SF10_FIXTURE_QUADRATIC = {
     # result-size cap; the custom q_dedup_minhash (32 longs/doc) is the
     # sf10-capable path and DID complete (65.8 s, decade-curve note).
     "q_dedup_minhash_ml",
+    # r7 catch, same class on the EMBEDDINGS side: the sf10 fixture
+    # replicates every embedding 100x byte-identically, so every LSH
+    # bucket holds >=100 equal vectors and the candidate-PAIR output is
+    # C(100,2) per identity cluster (~250M pairs; a single straggler task
+    # ground >15 min before the kill). Real corpora collide at ~constant
+    # rates; the probe-based q_similarity_topk / ivf / pq routes are the
+    # sf10-capable ANN paths and all completed.
+    "q_similarity_lsh",
     # q_geo_nearest_grid was here through r6 (density-quadratic: fixed
     # CELL=256 grid packed 1000x points/cell → ~2.4e9 candidates, run
     # killed). Fixed in r7: density-adaptive fine cells + expanding-ring
