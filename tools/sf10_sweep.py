@@ -47,6 +47,11 @@ SPARK_SIDE_ONLY = {
     # an events-scale lag window (~10M rows at sf10), DuckDB-feasible.
     "q_graph_bfs_hops", "q_graph_pagerank", "q_graph_label_propagation",
     "q_graph_jaccard_capped",
+    # r7 catch: the skyline oracle states raw dominance as a NOT EXISTS
+    # anti-join with two range predicates — quadratic over 2M parts in
+    # DuckDB at sf10 (ground >15 min; the Spark side is the scalable
+    # per-size-champion decomposition and returns in seconds).
+    "q_skyline_pareto",
 }
 
 # Skipped entirely at sf10: ops that pair documents/names on CONTENT. The
