@@ -206,6 +206,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     only between each node's HIGHER-ordered neighbors, and close them
     against the oriented edge list.
 
+    The wedge⋈edge closure exchange is COST-SIZED (the same
+    `_evidence_partitions` rule the Jaccard pipeline uses): the oriented
+    wedge count is exactly Σ C(outdeg, 2) — a node-scale aggregate over
+    the already-pinned oriented frame — so the (b, c) shuffle is sized
+    before it runs instead of inheriting spark.sql.shuffle.partitions.
+    At sf10 (~4e9 wedges) the default 32 partitions put 1/32 of the
+    edge-scale hash build AND 125M streamed wedge rows through each of
+    32 concurrent tasks, which OOMed a 24 GB heap; ~2000 cost-sized
+    partitions keep each build a few-MB and let AQE coalesce at low SF.
+    The closed form also REPLACES the second full wedge enumeration the
+    n_wedges output column used to need — one O(m^1.5) pass, not two.
+
     Why this survives 100 TB: orientation bounds each node's outgoing
     fan-out by O(sqrt(m)) regardless of hub degree — a celebrity node with
     10^6 co-purchases contributes wedges only through its (rare) neighbors
@@ -236,19 +248,46 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("db") < F.col("dc"))
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
+    # Exact wedge count in closed form: the (db, b) < (dc, c) tie-break is
+    # a total order on each center's out-neighbors, so center u with
+    # out-degree k contributes exactly C(k, 2) wedges. A node-scale agg on
+    # the PINNED oriented frame — no second O(m^1.5) enumeration. The
+    # scalar fetch is metadata-scale (same action class as the CC
+    # convergence checks, dedup.py).
+    n_wedges_val = int(
+        oriented.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum(F.expr("(k * (k - 1)) div 2")).alias("w"))
+        .first()[0]
+        or 0
+    )
+    try:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parts = 32
+    parts = _evidence_partitions(n_wedges_val, base_parts)
     closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     # shuffle-hash, not sort-merge: the wedge side is O(m^1.5) rows and
     # sorting it dominates the whole query; hash-building on the edge-scale
     # closer side streams the wedges unsorted (sf1: 411M wedges vs 12M
-    # edges — the sort was the JVM-pressure hotspot)
-    n_tri = wedges.join(closer.hint("shuffle_hash"), ["b", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # edges — the sort was the JVM-pressure hotspot). Both sides are
+    # repartitioned to the cost-sized count so each task's hash build is
+    # edges/parts rows (see the docstring's sf10 OOM note).
+    n_tri = (
+        wedges.repartition(parts, "b", "c")
+        .join(
+            closer.repartition(parts, "b", "c").hint("shuffle_hash"),
+            ["b", "c"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     # scalar sizes are metadata-scale (single-row aggregates); cross-joining
     # four 1-row frames is explicitly not a data-scale cartesian
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_wedges = spark.range(1).select(
+        F.lit(n_wedges_val).cast("bigint").alias("n_wedges")
+    )
     out = (
         n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
     )
