@@ -50,21 +50,49 @@ _INS2 = 200_000_000
 
 CDC_SCHEMA = "k BIGINT, op STRING, new_seg STRING, eff DATE"
 
+# transition-function metadata columns; everything else is an attribute
+_DIM_META = ("k", "valid_from", "valid_to")
+_CDC_META = ("k", "op", "eff")
+_NEW = "new_"  # cdc attribute columns carry this prefix (new_seg → seg)
+
 
 def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
     """Fold ONE CDC batch into an SCD2 dimension — the single transition
     function both the registered batch query and the streaming applier
     use, so the two can never drift (the sinks.py shared-normalizer
-    lesson). ``dim``: (k, seg, valid_from, valid_to); ``cdc``: (k, op,
-    new_seg, eff). Plan shape: one k-keyed left join (CDC batches are
-    bounded per trigger → AQE broadcasts the cdc side) + a union with the
-    opened rows — no windows, no shuffles beyond the join key."""
+    lesson). ``dim``: (k, <attrs...>, valid_from, valid_to); ``cdc``:
+    (k, op, new_<attr>..., eff) — every non-meta cdc column must carry
+    the ``new_`` prefix and names the dim attribute it sets.
+
+    SCHEMA EVOLUTION (both forms inherit it, r7 handoff item): a cdc
+    attribute the dimension has never seen joins the history as a typed
+    NULL column — every pre-existing row gets NULL for it (the attribute
+    was unobserved then), and rows opened by this batch carry the batch's
+    values. Conversely a dim attribute the batch does NOT carry stays on
+    history rows, and rows opened by this batch get a typed NULL for it
+    (the batch didn't observe it) — producers that widen a feed are not
+    forced to backfill columns they dropped.
+
+    Plan shape: one k-keyed left join (CDC batches are bounded per
+    trigger → AQE broadcasts the cdc side) + a union with the opened
+    rows — no windows, no shuffles beyond the join key."""
+    dim_attrs = [c for c in dim.columns if c not in _DIM_META]
+    cdc_types = {
+        f.name[len(_NEW):]: f.dataType
+        for f in cdc.schema.fields
+        if f.name.startswith(_NEW)
+    }
+    for a, dtype in cdc_types.items():
+        if a not in dim_attrs:
+            dim = dim.withColumn(a, F.lit(None).cast(dtype))
+            dim_attrs.append(a)
+    dim_types = {f.name: f.dataType for f in dim.schema.fields}
     ud = cdc.filter(F.col("op").isin("U", "D")).select(
         F.col("k").alias("ck"), F.col("eff").alias("ceff")
     )
     folded = dim.join(ud, dim["k"] == F.col("ck"), "left").select(
         dim["k"],
-        "seg",
+        *dim_attrs,
         "valid_from",
         F.when(
             F.col("ck").isNotNull() & dim["valid_to"].isNull(), F.col("ceff")
@@ -74,7 +102,14 @@ def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
     )
     opened = cdc.filter(F.col("op").isin("U", "I")).select(
         "k",
-        F.col("new_seg").alias("seg"),
+        *[
+            (
+                F.col(_NEW + a)
+                if a in cdc_types
+                else F.lit(None).cast(dim_types[a])
+            ).alias(a)
+            for a in dim_attrs
+        ],
         F.col("eff").alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
     )
@@ -202,7 +237,12 @@ def stream_scd2_apply(
     :func:`apply_scd2_batch`. Exactly-once on plain parquet: batch N
     reads ``v=N-1`` (``v=init`` for the first) and overwrites ``v=N`` —
     a replayed batch re-reads the untouched input version and reproduces
-    byte-identical output. The store rewrite is full-dimension per batch
+    byte-identical output. Schema evolution rides the same mechanics: a
+    batch carrying a never-seen ``new_<attr>`` column evolves the store —
+    version N−1 is read with its old schema, :func:`apply_scd2_batch`
+    NULL-extends history, and version N is written with the widened
+    schema (replay still idempotent: the input version keeps the old
+    schema). The store rewrite is full-dimension per batch
     (dimension-scale, not fact-scale); a lakehouse MERGE replaces it at
     production scale with the same transition."""
 

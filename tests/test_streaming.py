@@ -577,3 +577,88 @@ def test_stream_scd2_cdc_matches_batch_fold(spark, tmp_path, sf_dir):
         sorted(spark.read.parquet(f"{dim_dir}/v=1").collect(), key=key)
         == v1_before
     )
+
+
+def test_stream_scd2_schema_evolution(spark, tmp_path):
+    """A CDC batch carrying a never-seen ``new_tier`` column evolves the
+    streamed dimension store (r7 handoff hardening): history rows that
+    predate the attribute get a typed NULL, rows opened by the evolving
+    batch carry its values, and a dim attribute the batch does NOT carry
+    survives on history while opened rows get NULL for it. Driven through
+    the real foreachBatch applier so the store-read (old schema) →
+    transition → store-write (widened schema) path is what's tested, then
+    replay idempotence is re-asserted on the evolved store."""
+    from finegourmet_spark.streaming.cdc import (
+        apply_scd2_batch,
+        read_scd2_dim,
+        stream_scd2_apply,
+    )
+
+    cdc_in = str(tmp_path / "cdc_in")
+    dim_dir = str(tmp_path / "dim_store")
+    os.makedirs(cdc_in, exist_ok=True)
+    # store initialized WITHOUT tier
+    spark.createDataFrame(
+        [(1, "AUTO", "2024-01-01", None), (2, "BLDG", "2024-01-01", None)],
+        "k BIGINT, seg STRING, valid_from STRING, valid_to STRING",
+    ).select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    ).write.mode("overwrite").parquet(f"{dim_dir}/v=init")
+    # one CDC batch whose feed was widened: new_seg AND new_tier
+    evolved_schema = "k BIGINT, op STRING, new_seg STRING, new_tier INT, eff DATE"
+    batch = spark.createDataFrame(
+        [(1, "U", "WEB", 3, "2024-03-01"), (9, "I", "NEW", 1, "2024-03-01")],
+        "k BIGINT, op STRING, new_seg STRING, new_tier INT, eff STRING",
+    ).select("k", "op", "new_seg", "new_tier", F.col("eff").cast("date"))
+    batch.coalesce(1).write.mode("overwrite").parquet(f"{cdc_in}/b0")
+    (part,) = [
+        f for f in os.listdir(f"{cdc_in}/b0") if f.endswith(".parquet")
+    ]
+    os.rename(f"{cdc_in}/b0/{part}", f"{cdc_in}/batch_0.parquet")
+
+    src = (
+        spark.readStream.schema(evolved_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{cdc_in}/batch_*.parquet")
+    )
+    q = stream_scd2_apply(src, dim_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = {
+        (r.k, str(r.valid_from)): r
+        for r in read_scd2_dim(spark, dim_dir).collect()
+    }
+    # pre-evolution history rows: typed NULL tier, seg preserved
+    assert out[(1, "2024-01-01")].tier is None
+    assert out[(1, "2024-01-01")].seg == "AUTO"
+    assert str(out[(1, "2024-01-01")].valid_to) == "2024-03-01"  # closed by U
+    assert out[(2, "2024-01-01")].tier is None
+    assert out[(2, "2024-01-01")].valid_to is None  # untouched, current
+    # rows opened by the evolving batch carry tier
+    assert out[(1, "2024-03-01")].tier == 3
+    assert out[(1, "2024-03-01")].seg == "WEB"
+    assert out[(9, "2024-03-01")].tier == 1
+    # replay the batch against the untouched v=init: identical evolved v=0
+    key = lambda r: (r.k, str(r.valid_from))  # noqa: E731
+    v0_before = sorted(spark.read.parquet(f"{dim_dir}/v=0").collect(), key=key)
+    apply_scd2_batch(
+        spark.read.parquet(f"{dim_dir}/v=init"),
+        spark.read.parquet(f"{cdc_in}/batch_0.parquet"),
+    ).write.mode("overwrite").parquet(f"{dim_dir}/v=0")
+    assert (
+        sorted(spark.read.parquet(f"{dim_dir}/v=0").collect(), key=key)
+        == v0_before
+    )
+    # the reverse direction: a later batch that DROPS tier (narrow feed)
+    narrow = spark.createDataFrame(
+        [(2, "U", "MOB", "2024-06-01")],
+        "k BIGINT, op STRING, new_seg STRING, eff STRING",
+    ).select("k", "op", "new_seg", F.col("eff").cast("date"))
+    dim2 = apply_scd2_batch(spark.read.parquet(f"{dim_dir}/v=0"), narrow)
+    rows2 = {(r.k, str(r.valid_from)): r for r in dim2.collect()}
+    assert rows2[(1, "2024-03-01")].tier == 3  # history keeps the attr
+    assert rows2[(2, "2024-06-01")].tier is None  # batch didn't observe it
+    assert rows2[(2, "2024-06-01")].seg == "MOB"
