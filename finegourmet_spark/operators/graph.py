@@ -218,6 +218,21 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The closed form also REPLACES the second full wedge enumeration the
     n_wedges output column used to need — one O(m^1.5) pass, not two.
 
+    SCRATCH-BOUNDED mode (grace-partitioned closure): even cost-sized,
+    the closure exchange WRITES every wedge row to local shuffle disk at
+    once — ~78 GB at sf10 (~19 B/row on disk, lz4 on near-random longs),
+    which filled this host's scratch. When ${_CLOSURE_SCRATCH_ENV} sets a
+    per-host scratch budget (GB), the closure splits into K passes by
+    ``xxhash64(b, c) % K`` with K sized from the exact wedge count: pass
+    i enumerates wedges but keeps only slice i MAP-SIDE (the filter runs
+    inside the enumeration stage, before the exchange write), joins it
+    against the identically-sliced edge list, and the per-pass triangle
+    counts sum. Disk high-water drops K× for K extra probe passes over
+    the pinned oriented frame — the classic grace-join time/space trade.
+    Unset (the default), the closure is the original one-pass plan: on a
+    real cluster shuffle scratch is fleet-wide and the knob belongs to
+    the host, not the query.
+
     Why this survives 100 TB: orientation bounds each node's outgoing
     fan-out by O(sqrt(m)) regardless of hub degree — a celebrity node with
     10^6 co-purchases contributes wedges only through its (rare) neighbors
@@ -228,10 +243,25 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact in both engines (nonnegative operands — truncating `div`
     equals flooring `//`).
     """
+    from pyspark import StorageLevel
+
     edges = _edges(spark, sf_dir)
     deg = _degrees(edges)
     du = deg.select(F.col("src").alias("u_n"), F.col("d").alias("du"))
     dv = deg.select(F.col("src").alias("v_n"), F.col("d").alias("dv"))
+    try:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parts = 32
+    # Pin the oriented frame hash(u)-partitioned AND u-sorted, DISK_ONLY:
+    # the wedge self-join then needs NO exchange and NO per-task sort —
+    # Catalyst sees both children co-partitioned and pre-ordered, so the
+    # enumeration task is a pure streaming merge-join whose only memory
+    # consumer is the shuffle writer. The r8 sf10 run that sorted inside
+    # the enumeration task (sort + SMJ + shuffle write = 3 memory
+    # consumers x 32 tasks) exhausted the unified pool; DISK_ONLY also
+    # keeps the pinned blocks out of that pool (sequential re-reads are
+    # cheap; the frame is edge-scale).
     oriented = (
         edges.join(du, edges["src"] == du["u_n"])
         .join(dv, edges["dst"] == dv["v_n"])
@@ -240,7 +270,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"), "dv")
-        .localCheckpoint()  # three consumers (wedges x2, closure) — pin once
+        .repartition(base_parts, "u")
+        .sortWithinPartitions("u")
+        .persist(StorageLevel.DISK_ONLY)
     )
     x = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("db"))
     y = oriented.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("dc"))
@@ -261,10 +293,6 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
         or 0
     )
-    try:
-        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        base_parts = 32
     parts = _evidence_partitions(n_wedges_val, base_parts)
     closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     # shuffle-hash, not sort-merge: the wedge side is O(m^1.5) rows and
@@ -273,14 +301,36 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges — the sort was the JVM-pressure hotspot). Both sides are
     # repartitioned to the cost-sized count so each task's hash build is
     # edges/parts rows (see the docstring's sf10 OOM note).
-    n_tri = (
-        wedges.repartition(parts, "b", "c")
-        .join(
-            closer.repartition(parts, "b", "c").hint("shuffle_hash"),
-            ["b", "c"],
+    passes = _closure_passes(n_wedges_val)
+
+    def _closure_count(w_side: DataFrame, c_side: DataFrame, p: int):
+        return (
+            w_side.repartition(p, "b", "c")
+            .join(c_side.repartition(p, "b", "c").hint("shuffle_hash"), ["b", "c"])
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+
+    if passes == 1:
+        n_tri = _closure_count(wedges, closer, parts)
+    else:
+        # grace-partitioned closure (see docstring): slice BOTH sides by
+        # the same (b, c) hash so each pass is a complete equi-join on its
+        # slice; the slice filter runs map-side inside the enumeration
+        # stage, so only 1/passes of the wedge shuffle hits disk at once.
+        # The per-pass scalar fetch is metadata-scale; the explicit GC nudges
+        # the ContextCleaner to drop the finished pass's shuffle files
+        # before the next pass writes its own.
+        p = _evidence_partitions(n_wedges_val // passes, base_parts)
+        total = 0
+        for i in range(passes):
+            sl = F.pmod(F.xxhash64("b", "c"), F.lit(passes)) == i
+            total += int(
+                _closure_count(wedges.filter(sl), closer.filter(sl), p).first()[0]
+            )
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        n_tri = spark.range(1).select(
+            F.lit(total).cast("bigint").alias("n_triangles")
+        )
     # scalar sizes are metadata-scale (single-row aggregates); cross-joining
     # four 1-row frames is explicitly not a data-scale cartesian
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -366,6 +416,27 @@ _PPM = 1_000_000
 # ~2M pair keys per task keeps the final hash-agg map ≈ 80 MB — 32
 # concurrent local tasks then fit a default 8 GB heap with headroom.
 _WEDGE_ROWS_PER_PART = 2_000_000
+
+
+_CLOSURE_SCRATCH_ENV = "SPARK_GRAFT_CLOSURE_SCRATCH_GB"
+# measured on-disk bytes per wedge shuffle row (r8 sf10 run: ~4.1e9 wedges
+# filled ~78 GB of lz4 shuffle — near-random long pairs barely compress)
+_WEDGE_DISK_BYTES = 19
+
+
+def _closure_passes(n_wedges: int) -> int:
+    """Number of grace-partition passes for the triangle closure: 1 when
+    no per-host scratch budget is set (cluster default — shuffle scratch
+    is fleet-wide), else enough passes that one slice's wedge shuffle
+    fits the budget. Capped at 64 — past that the enumeration re-probes
+    dominate and the host is simply too small for the graph."""
+    import os
+
+    budget_gb = float(os.environ.get(_CLOSURE_SCRATCH_ENV, "0") or "0")
+    if budget_gb <= 0:
+        return 1
+    budget_bytes = int(budget_gb * 2**30)
+    return max(1, min(64, -(-n_wedges * _WEDGE_DISK_BYTES // budget_bytes)))
 
 
 def _evidence_partitions(n_wedges: int, base: int) -> int:

@@ -183,6 +183,26 @@ def test_triangles_matches_python_model(spark, sf_dir):
     assert row["closure_ppm"] == (3000000 * n_tri) // n_wedges
 
 
+def test_triangles_grace_partitioned_closure_equal(spark, sf_dir, monkeypatch):
+    """Forcing the scratch-bounded closure (a tiny budget → several
+    xxhash64(b, c) slices) reproduces the single-pass census exactly —
+    the slices partition the wedge set, so the per-pass counts must sum
+    to the one-pass total (the q_geo_nearest_grid forced-multilevel
+    pinning pattern)."""
+    from finegourmet_spark.operators.graph import (
+        _CLOSURE_SCRATCH_ENV,
+        _closure_passes,
+    )
+
+    one_pass = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
+    # tiny budget: sf0.001 has ~10k wedges -> 19 B each -> ~190 KB; 1e-4 GB
+    # (~107 KB) forces >= 2 passes
+    monkeypatch.setenv(_CLOSURE_SCRATCH_ENV, "0.0001")
+    assert _closure_passes(one_pass["n_wedges"]) >= 2
+    forced = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
+    assert forced.asDict() == one_pass.asDict()
+
+
 def test_interpolate_matches_python_model(spark, sf_dir):
     """Linear interpolation recomputed with exact integer arithmetic."""
     import math

@@ -91,6 +91,10 @@ def main() -> int:
     import os
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # per-host scratch budget for the grace-partitioned triangle closure
+    # (r8: the one-pass wedge shuffle is ~78 GB at sf10 and filled this
+    # host's disk; 12 GB/pass keeps ~65 GB of headroom for everything else)
+    os.environ.setdefault("SPARK_GRAFT_CLOSURE_SCRATCH_GB", "12")
     q = contract.queries()
     o = contract.oracle_sql()
     names = sorted(q)
