@@ -70,21 +70,25 @@ def build(factor: int, out_dir: Path) -> None:
             pq.write_table(src, out_dir / f"{table}.parquet")
             print(f"{table}: {src.num_rows} rows (single copy)")
             continue
-        copies = []
-        for i in range(factor):
-            t = src
-            for col, group in cols.items():
-                field = t.schema.field(col)
-                shifted = pc.add(t[col], i * strides[group])
-                t = t.set_column(
-                    t.schema.get_field_index(col),
-                    field,
-                    shifted.cast(field.type),
-                )
-            copies.append(t)
-        full = pa.concat_tables(copies)
-        pq.write_table(full, out_dir / f"{table}.parquet")
-        print(f"{table}: {full.num_rows} rows ({factor} copies)")
+        # stream one shifted copy per row group: peak memory is ONE copy
+        # regardless of factor (factor 1000 would need ~60 GB with the old
+        # concat-then-write; the parquet schema is taken verbatim from the
+        # source table, so physical types survive exactly as before)
+        n_rows = 0
+        with pq.ParquetWriter(out_dir / f"{table}.parquet", src.schema) as w:
+            for i in range(factor):
+                t = src
+                for col, group in cols.items():
+                    field = t.schema.field(col)
+                    shifted = pc.add(t[col], i * strides[group])
+                    t = t.set_column(
+                        t.schema.get_field_index(col),
+                        field,
+                        shifted.cast(field.type),
+                    )
+                w.write_table(t)
+                n_rows += t.num_rows
+        print(f"{table}: {n_rows} rows ({factor} copies)")
 
 
 if __name__ == "__main__":
