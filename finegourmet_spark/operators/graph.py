@@ -422,9 +422,11 @@ _CLOSURE_SCRATCH_ENV = "SPARK_GRAFT_CLOSURE_SCRATCH_GB"
 # measured on-disk bytes per wedge shuffle row (r8 sf10 run: ~4.1e9 wedges
 # filled ~78 GB of lz4 shuffle — near-random long pairs barely compress)
 _WEDGE_DISK_BYTES = 19
+# pair-evidence rows carry a third long (the HT weight / unit count)
+_PAIR_DISK_BYTES = 25
 
 
-def _closure_passes(n_wedges: int) -> int:
+def _closure_passes(n_wedges: int, row_bytes: int = _WEDGE_DISK_BYTES) -> int:
     """Number of grace-partition passes for the triangle closure: 1 when
     no per-host scratch budget is set (cluster default — shuffle scratch
     is fleet-wide), else enough passes that one slice's wedge shuffle
@@ -436,7 +438,7 @@ def _closure_passes(n_wedges: int) -> int:
     if budget_gb <= 0:
         return 1
     budget_bytes = int(budget_gb * 2**30)
-    return max(1, min(64, -(-n_wedges * _WEDGE_DISK_BYTES // budget_bytes)))
+    return max(1, min(64, -(-n_wedges * row_bytes // budget_bytes)))
 
 
 def _evidence_partitions(n_wedges: int, base: int) -> int:
@@ -604,8 +606,25 @@ def _jaccard_topk(
     """Shared wedge→candidate→Jaccard→top-k pipeline. ``hub_cap=None`` is
     the exact form (unit wedge weights, plain counts); an integer cap
     switches to the HT-weighted sampled form, whose evidence column is
-    ppm-scaled (`common_ppm`)."""
-    edges = _edges(spark, sf_dir)
+    ppm-scaled (`common_ppm`).
+
+    SCRATCH-BOUNDED mode (shared with the triangle census, r8): when
+    ${_CLOSURE_SCRATCH_ENV} sets a per-host scratch budget, the
+    pair-evidence exchange splits into K slices by ``xxhash64(u, v) % K``
+    — each (u, v) pair lives in exactly ONE slice, so the per-slice
+    agg → min-common filter → anti-join (edge side sliced by the SAME
+    hash of its join keys) → degree-join → Jaccard is complete for its
+    pairs, and the global top-{JACC_TOPN} is the top-{JACC_TOPN} of the
+    union of per-slice top-{JACC_TOPN}s (any global winner is a winner
+    inside its own slice). Disk high-water drops K× for K extra probe
+    passes over the pinned adjacency; the per-slice winners are
+    metadata-scale (≤{JACC_TOPN} rows each). The adjacency is pinned
+    hash(src)-partitioned + sorted + DISK_ONLY so every enumeration pass
+    is a pure streaming merge-join (the triangle-census memory lesson:
+    sort + SMJ + shuffle-write in one task exhausts the unified pool)."""
+    from pyspark import StorageLevel
+
+    edges = _edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     deg = _degrees(edges)
     if hub_cap is None:
         adj = edges.withColumn("w_ppm", F.lit(1).cast("bigint"))
@@ -622,6 +641,15 @@ def _jaccard_topk(
         # semantics differ across engines; see the oracle comment)
         clamp = f"least(common_ppm, {_PPM}L * least(du, dv))"
         den = f"{_PPM}L * (du + dv) - {clamp}"
+    try:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parts = 32
+    adj = (
+        adj.repartition(base_parts, "src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     x = adj.select(F.col("src").alias("c_"), F.col("dst").alias("u"), "w_ppm")
     y = adj.select(F.col("src").alias("c2"), F.col("dst").alias("v"))
     # Cost-based sizing of the pair-evidence exchange (the r6 48 GB-heap
@@ -636,41 +664,71 @@ def _jaccard_topk(
     n_wedges = (
         deg.agg(F.sum(eff * (eff - F.lit(1)) / F.lit(2))).first()[0] or 0
     )
-    try:
-        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        base_parts = 32
     parts = _evidence_partitions(int(n_wedges), base_parts)
-    wedges = (
-        x.join(y, (F.col("c_") == F.col("c2")) & (F.col("u") < F.col("v")))
-        .repartition(parts, "u", "v")
-        .groupBy("u", "v")
-        .agg(F.sum("w_ppm").alias(ev_col))
-        .filter(F.col(ev_col) >= min_common)
-    )
-    cand = wedges.join(
-        edges,
-        (wedges["u"] == edges["src"]) & (wedges["v"] == edges["dst"]),
-        "left_anti",
-    )
     du = deg.select(F.col("src").alias("un"), F.col("d").alias("du"))
     dv = deg.select(F.col("src").alias("vn"), F.col("d").alias("dv"))
     ev_out = F.col(ev_col) if hub_cap is None else F.expr(clamp)
     num = ev_col if hub_cap is None else clamp
-    jac = (
-        cand.join(du, cand["u"] == du["un"])
-        .join(dv, cand["v"] == dv["vn"])
-        .select(
-            "u",
-            "v",
-            ev_out.alias(ev_col),
-            F.expr(f"({_PPM} * {num}) div ({den})")
-            .cast("bigint")
-            .alias("jaccard_ppm"),
+
+    def _slice_jac(pair_slice, edge_slice, p: int) -> DataFrame:
+        pairs = x.join(
+            y, (F.col("c_") == F.col("c2")) & (F.col("u") < F.col("v"))
         )
-    )
-    top = jac.orderBy(F.col("jaccard_ppm").desc(), "u", "v").limit(JACC_TOPN)
-    w = Window.orderBy(F.col("jaccard_ppm").desc(), "u", "v")
+        if pair_slice is not None:
+            pairs = pairs.filter(pair_slice)  # map-side, before the exchange
+        wedges = (
+            pairs.repartition(p, "u", "v")
+            .groupBy("u", "v")
+            .agg(F.sum("w_ppm").alias(ev_col))
+            .filter(F.col(ev_col) >= min_common)
+        )
+        e = edges if edge_slice is None else edges.filter(edge_slice)
+        cand = wedges.join(
+            e,
+            (wedges["u"] == e["src"]) & (wedges["v"] == e["dst"]),
+            "left_anti",
+        )
+        return (
+            cand.join(du, cand["u"] == du["un"])
+            .join(dv, cand["v"] == dv["vn"])
+            .select(
+                "u",
+                "v",
+                ev_out.alias(ev_col),
+                F.expr(f"({_PPM} * {num}) div ({den})")
+                .cast("bigint")
+                .alias("jaccard_ppm"),
+            )
+        )
+
+    order = [F.col("jaccard_ppm").desc(), F.col("u"), F.col("v")]
+    passes = _closure_passes(int(n_wedges), _PAIR_DISK_BYTES)
+    if passes == 1:
+        top = _slice_jac(None, None, parts).orderBy(*order).limit(JACC_TOPN)
+    else:
+        p = _evidence_partitions(int(n_wedges) // passes, base_parts)
+        winners = []
+        for i in range(passes):
+            winners += (
+                _slice_jac(
+                    F.pmod(F.xxhash64("u", "v"), F.lit(passes)) == i,
+                    F.pmod(F.xxhash64("src", "dst"), F.lit(passes)) == i,
+                    p,
+                )
+                .orderBy(*order)
+                .limit(JACC_TOPN)
+                .collect()
+            )
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        top = (
+            spark.createDataFrame(
+                winners,
+                f"u bigint, v bigint, {ev_col} bigint, jaccard_ppm bigint",
+            )
+            .orderBy(*order)
+            .limit(JACC_TOPN)
+        )
+    w = Window.orderBy(*order)
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"),
         F.col("u").alias("part_a"),

@@ -183,6 +183,22 @@ def test_triangles_matches_python_model(spark, sf_dir):
     assert row["closure_ppm"] == (3000000 * n_tri) // n_wedges
 
 
+def test_jaccard_grace_partitioned_slices_equal(spark, sf_dir, monkeypatch):
+    """Forcing the scratch-bounded pair-evidence exchange (tiny budget →
+    several xxhash64(u, v) slices) reproduces both Jaccard forms exactly:
+    each pair lives in one slice, so the union of per-slice top-k IS the
+    global top-k."""
+    from finegourmet_spark.operators.graph import _CLOSURE_SCRATCH_ENV
+
+    exact = QUERIES["q_graph_jaccard_neighbors"](spark, sf_dir).collect()
+    capped = QUERIES["q_graph_jaccard_capped"](spark, sf_dir).collect()
+    monkeypatch.setenv(_CLOSURE_SCRATCH_ENV, "0.0001")
+    exact_f = QUERIES["q_graph_jaccard_neighbors"](spark, sf_dir).collect()
+    capped_f = QUERIES["q_graph_jaccard_capped"](spark, sf_dir).collect()
+    assert [r.asDict() for r in exact_f] == [r.asDict() for r in exact]
+    assert [r.asDict() for r in capped_f] == [r.asDict() for r in capped]
+
+
 def test_triangles_grace_partitioned_closure_equal(spark, sf_dir, monkeypatch):
     """Forcing the scratch-bounded closure (a tiny budget → several
     xxhash64(b, c) slices) reproduces the single-pass census exactly —
