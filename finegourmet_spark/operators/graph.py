@@ -327,7 +327,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             total += int(
                 _closure_count(wedges.filter(sl), closer.filter(sl), p).first()[0]
             )
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            _release_pass_shuffles(spark)
         n_tri = spark.range(1).select(
             F.lit(total).cast("bigint").alias("n_triangles")
         )
@@ -416,6 +416,23 @@ _PPM = 1_000_000
 # ~2M pair keys per task keeps the final hash-agg map ≈ 80 MB — 32
 # concurrent local tasks then fit a default 8 GB heap with headroom.
 _WEDGE_ROWS_PER_PART = 2_000_000
+
+
+def _release_pass_shuffles(spark: SparkSession) -> None:
+    """Between grace passes: drop the finished pass's shuffle files.
+    Python refcounting alone leaves the JVM-side plan objects alive until
+    py4j detach commands flush AND the driver JVM GCs, and the
+    ContextCleaner only deletes shuffle files after that — the r8 capped
+    sf10 run showed cleanup lagging ~2 passes (~42 GB high-water against
+    a 12 GB/slice design). Forcing the Python GC first flushes the py4j
+    detaches, then one JVM GC hands everything to the (blocking-by-
+    default) cleaner."""
+    import gc as _gc
+    import time as _time
+
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    _time.sleep(2)  # let the cleaner thread drain its reference queue
 
 
 _CLOSURE_SCRATCH_ENV = "SPARK_GRAFT_CLOSURE_SCRATCH_GB"
@@ -719,7 +736,7 @@ def _jaccard_topk(
                 .limit(JACC_TOPN)
                 .collect()
             )
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            _release_pass_shuffles(spark)
         top = (
             spark.createDataFrame(
                 winners,
