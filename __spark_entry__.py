@@ -41,8 +41,9 @@ from finegourmet_spark.operators.registry import ORACLES, QUERIES
 # the r7 list — they lead this window (slots 0-2). Slots 3-4 re-confirm the
 # two queries whose implementations were rewritten in r7 AFTER their last
 # driver row (adaptive-grid NN, cost-sized Jaccard exchange). Slots 5-49
-# re-confirm the queries with the OLDEST remaining driver evidence: 36 whose
-# last row is r2, then 9 whose last row is r3. All 50 are oracle-backed and
+# re-confirm the queries with the OLDEST remaining driver evidence: 34 whose
+# last row is r2, then 11 whose last row is r3 (the two by-design
+# rows-only r2 queries stay below the boundary per VERDICT r2 item 3). All 50 are oracle-backed and
 # green in the repo's own full-registry DuckDB sweeps (BASELINE.md). Below
 # the boundary: everything else, oldest evidence first (so the next
 # rotation reads off the top), with the r7 window (newest evidence) last.
@@ -52,9 +53,8 @@ _PRIORITY = [
     # ---- slots 3-4: code rewritten in r7 after their last driver row
     #      (adaptive-grid NN, cost-sized Jaccard exchange) ---------------
     "q_geo_nearest_grid", "q_graph_jaccard_neighbors",
-    # ---- slots 5-40: oldest remaining evidence (last driver row r2) ----
-    "q_stream_session", "q_stream_watermark_dedup", "q_agg_approx",
-    "q_dedup_minhash", "q_stream_sliding", "q_text_stats", "q_udf_scalar",
+    # ---- slots 5-38: oldest remaining evidence (last driver row r2) ----
+    "q_stream_session", "q_stream_watermark_dedup", "q_stream_sliding", "q_text_stats", "q_udf_scalar",
     "q_udaf", "q_scan_project", "q_filter_pred", "q_case_when",
     "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_join_left",
     "q_join_right", "q_join_full", "q_join_cross", "q_in_subquery",
@@ -62,13 +62,16 @@ _PRIORITY = [
     "q_agg_rollup", "q_window_rank", "q_window_analytic", "q_dedup_rownum",
     "q_sort_multi", "q_union", "q_intersect", "q_except", "q_distinct",
     "q_surrogate_keys", "q_pivot", "q_array_funcs", "q_map_funcs",
-    # ---- slots 41-49: last driver row r3 -------------------------------
+    # ---- slots 39-49: last driver row r3 -------------------------------
     "q_join_asof", "q_join_range", "q_sessionize", "q_dedup_clusters",
     "q_repetition_ratio", "q_decontaminate", "q_corpus_curate",
-    "q_lang_id_chargram", "q_unpivot",
+    "q_lang_id_chargram", "q_unpivot", "q_window_distribution",
+    "q_recursive_cte",
     # ---- slot 50 boundary: everything below driver-confirmed r4-r7 -----
-    # (oldest evidence first; the r7 window queries come last)
-    "q_window_distribution", "q_recursive_cte", "q_agg_conditional",
+    # (oldest evidence first; the r7 window queries come last; the two
+    # by-design rows-only queries stay below the boundary per VERDICT r2
+    # item 3 — they can never hash-match and would burn slots)
+    "q_agg_approx", "q_dedup_minhash", "q_agg_conditional",
     "q_sample_stratified", "q_scd2", "q_lang_id", "q_tokenize_bpe",
     "q_hypertable_rollup", "q_text_scrub_pii", "q_chunk_documents",
     "q_split_train_eval", "q_doc_fingerprint", "q_similarity_ivf",
