@@ -104,6 +104,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    skipped = sorted(s for s in skip if s in HEADLINE)
+    if skipped:
+        # mark reduced query sets so a skipped-run total is never silently
+        # compared against a full-run total (ADVICE r8)
+        result["skipped"] = skipped
     print(json.dumps(result))
     spark.stop()
 

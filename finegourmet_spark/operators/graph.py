@@ -123,44 +123,77 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PR_TOPN} parts by damped-mass centrality after {PR_ROUNDS}
     propagation rounds over the co-purchase graph.
 
-    Plan shape per round: the pinned edge list (localCheckpoint — lineage
-    would double per round otherwise, the CC lesson, dedup.py:204) is
-    pre-partitioned on src; the per-node contribution (mass div degree) is
-    resolved by a NODE-scale mass⋈deg join BEFORE touching edges, so each
-    round shuffles only node-scale frames to the edge join and the
-    contribution aggregate on dst; edge rows never re-exchange. Final
-    ranking is top-{PR_TOPN} (TakeOrdered path), with the {PR_TOPN}-row
-    rank window explicitly metadata-scale."""
-    spread = max(spark.sparkContext.defaultParallelism, 8)
+    Plan shape per round (r9: the triangle-census pinning pattern applied
+    to the iterated exchange — VERDICT r8 item 3): the edge list is pinned
+    hash(src)-partitioned AND src-sorted, DISK_ONLY — every round's
+    mass⋈edge join is then a pure streaming merge-join against the pinned
+    blocks (no re-exchange, no per-task sort of edge rows; the only
+    memory consumers are the node-scale contribution sort and the
+    partial-agg map). The exchange is COST-SIZED from the exact directed
+    edge count (Σd, a node-scale aggregate) via `_evidence_partitions`
+    instead of inheriting the session shuffle width — at sf10 the edge
+    list is ~100M rows and 32 inherited partitions would put ~3M-row hash
+    builds through every task. The per-node contribution (mass div
+    degree) is resolved by a NODE-scale mass⋈deg join BEFORE touching
+    edges, so each round shuffles only node-scale frames plus the
+    map-side-combined contribution aggregate on dst; per-round masses are
+    localCheckpointed (lineage would double per round otherwise, the CC
+    lesson, dedup.py:204). The final top-{PR_TOPN} is collected
+    (metadata-scale) so the pinned edge blocks are RELEASED before
+    returning (ADVICE r8), and the {PR_TOPN}-row rank window is
+    explicitly metadata-scale."""
+    from pyspark import StorageLevel
+
+    try:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parts = 32
+    deg = _degrees(_edges(spark, sf_dir)).localCheckpoint()  # node-scale
+    n_edges = int(deg.agg(F.sum("d")).first()[0] or 0)  # exact Σd, directed
+    parts = _evidence_partitions(n_edges, base_parts)
     ej = (
         _edges(spark, sf_dir)
-        .repartition(spread, "src")
-        .localCheckpoint()  # pin: 3 rounds reuse this, lineage stays flat
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.DISK_ONLY)
     )
-    deg = _degrees(ej).localCheckpoint()  # node-scale, reused every round
-    mass = deg.select("src", F.lit(PR_INIT).cast("long").alias("mass"))
-    for _ in range(PR_ROUNDS):
-        contrib = (
-            mass.join(deg, "src")  # node ⋈ node, broadcast-scale per round
-            .select("src", F.expr("mass div d").alias("c"))
-        )
-        mass = (
-            ej.join(contrib, "src")
-            .groupBy("dst")
-            .agg(
-                (F.lit(PR_BASE) + F.expr("(17 * sum(c)) div 20"))
-                .cast("long")
-                .alias("mass")
+    try:
+        mass = deg.select("src", F.lit(PR_INIT).cast("long").alias("mass"))
+        for _ in range(PR_ROUNDS):
+            contrib = (
+                mass.join(deg, "src")  # node ⋈ node, broadcast-scale
+                .select("src", F.expr("mass div d").alias("c"))
+                .repartition(parts, "src")
+                .sortWithinPartitions("src")  # co-sorted → streaming SMJ
             )
-            .select(F.col("dst").alias("src"), "mass")
+            mass = (
+                ej.join(contrib, "src")
+                .groupBy("dst")
+                .agg(
+                    (F.lit(PR_BASE) + F.expr("(17 * sum(c)) div 20"))
+                    .cast("long")
+                    .alias("mass")
+                )
+                .select(F.col("dst").alias("src"), "mass")
+                .localCheckpoint()  # node-scale pin, flat lineage per round
+            )
+        top_rows = (
+            mass.orderBy(F.col("mass").desc(), F.col("src"))
+            .limit(PR_TOPN)
+            .collect()
         )
-    mass = mass.select(F.col("src").alias("pk"), "mass")
-    top = mass.orderBy(F.col("mass").desc(), F.col("pk")).limit(PR_TOPN)
+    finally:
+        ej.unpersist(blocking=False)
+    top = (
+        spark.createDataFrame(top_rows, "src bigint, mass bigint")
+        .orderBy(F.col("mass").desc(), F.col("src"))
+        .limit(PR_TOPN)
+    )
     # rank over PR_TOPN rows only — metadata-scale single partition by design
-    w = Window.orderBy(F.col("mass").desc(), F.col("pk"))
+    w = Window.orderBy(F.col("mass").desc(), F.col("src"))
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"),
-        F.col("pk").alias("part_id"),
+        F.col("src").alias("part_id"),
         "mass",
     )
 
@@ -310,46 +343,45 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
 
-    if passes == 1:
-        n_tri = _closure_count(wedges, closer, parts)
-    else:
-        # grace-partitioned closure (see docstring): slice BOTH sides by
-        # the same (b, c) hash so each pass is a complete equi-join on its
-        # slice; the slice filter runs map-side inside the enumeration
-        # stage, so only 1/passes of the wedge shuffle hits disk at once.
-        # The per-pass scalar fetch is metadata-scale; the explicit GC nudges
-        # the ContextCleaner to drop the finished pass's shuffle files
-        # before the next pass writes its own.
-        p = _evidence_partitions(n_wedges_val // passes, base_parts)
-        total = 0
-        for i in range(passes):
-            sl = F.pmod(F.xxhash64("b", "c"), F.lit(passes)) == i
-            total += int(
-                _closure_count(wedges.filter(sl), closer.filter(sl), p).first()[0]
-            )
-            _release_pass_shuffles(spark)
-        n_tri = spark.range(1).select(
-            F.lit(total).cast("bigint").alias("n_triangles")
-        )
-    # scalar sizes are metadata-scale (single-row aggregates); cross-joining
-    # four 1-row frames is explicitly not a data-scale cartesian
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = spark.range(1).select(
-        F.lit(n_wedges_val).cast("bigint").alias("n_wedges")
+    # All outputs are single scalars — collect them eagerly (metadata-
+    # scale actions) so the pinned oriented frame can be RELEASED before
+    # returning (ADVICE r8: the DISK_ONLY pin otherwise lingers for the
+    # whole session). The returned one-row frame is built from literals.
+    try:
+        n_nodes_val = int(deg.count())
+        n_edges_val = int(oriented.count())
+        if passes == 1:
+            n_tri_val = int(_closure_count(wedges, closer, parts).first()[0])
+        else:
+            # grace-partitioned closure (see docstring): slice BOTH sides
+            # by the same (b, c) hash so each pass is a complete equi-join
+            # on its slice; the slice filter runs map-side inside the
+            # enumeration stage, so only 1/passes of the wedge shuffle
+            # hits disk at once. The per-pass scalar fetch is metadata-
+            # scale; the release call nudges the ContextCleaner to drop
+            # the finished pass's shuffle files before the next pass
+            # writes its own.
+            p = _evidence_partitions(n_wedges_val // passes, base_parts)
+            n_tri_val = 0
+            for i in range(passes):
+                sl = F.pmod(F.xxhash64("b", "c"), F.lit(passes)) == i
+                n_tri_val += int(
+                    _closure_count(
+                        wedges.filter(sl), closer.filter(sl), p
+                    ).first()[0]
+                )
+                _release_pass_shuffles(spark)
+    finally:
+        oriented.unpersist(blocking=False)
+    closure_ppm = (
+        0 if n_wedges_val == 0 else (3_000_000 * n_tri_val) // n_wedges_val
     )
-    out = (
-        n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
-    )
-    return out.select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        F.when(F.col("n_wedges") == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.expr("(3000000 * n_triangles) div n_wedges"))
-        .cast("bigint")
-        .alias("closure_ppm"),
+    return spark.range(1).select(
+        F.lit(n_nodes_val).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges_val).cast("bigint").alias("n_edges"),
+        F.lit(n_wedges_val).cast("bigint").alias("n_wedges"),
+        F.lit(n_tri_val).cast("bigint").alias("n_triangles"),
+        F.lit(closure_ppm).cast("bigint").alias("closure_ppm"),
     )
 
 
@@ -418,6 +450,35 @@ _PPM = 1_000_000
 _WEDGE_ROWS_PER_PART = 2_000_000
 
 
+def _shuffle_scratch_bytes(spark: SparkSession) -> int | None:
+    """Current on-disk bytes under the block manager's local dirs (the
+    shuffle scratch this module budgets). Local-mode only by construction
+    — the dirs live on this host; returns None if the py4j probe fails
+    (e.g. a future Spark renames the accessor), so callers can fall back
+    to a fixed wait."""
+    import os
+
+    try:
+        jdirs = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()  # noqa: SLF001
+            .blockManager()
+            .diskBlockManager()
+            .localDirs()
+        )
+        roots = [jdirs[i].getAbsolutePath() for i in range(len(jdirs))]
+    except Exception:
+        return None
+    total = 0
+    for root in roots:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass  # cleaner raced us: file deleted mid-walk
+    return total
+
+
 def _release_pass_shuffles(spark: SparkSession) -> None:
     """Between grace passes: drop the finished pass's shuffle files.
     Python refcounting alone leaves the JVM-side plan objects alive until
@@ -426,13 +487,40 @@ def _release_pass_shuffles(spark: SparkSession) -> None:
     sf10 run showed cleanup lagging ~2 passes (~42 GB high-water against
     a 12 GB/slice design). Forcing the Python GC first flushes the py4j
     detaches, then one JVM GC hands everything to the (blocking-by-
-    default) cleaner."""
+    default) cleaner. Rather than a fixed sleep (ADVICE r8: on a busy
+    driver 2 s can leave pass i's files coexisting with pass i+1's
+    writes), poll the block-manager scratch dirs with a bounded wait and
+    return as soon as the cleaner visibly drained (two consecutive
+    non-shrinking samples after an initial drop, or any sample below 25%
+    of the starting size)."""
     import gc as _gc
     import time as _time
 
     _gc.collect()
+    before = _shuffle_scratch_bytes(spark)
     spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-    _time.sleep(2)  # let the cleaner thread drain its reference queue
+    if before is None or before < 2**30:
+        # probe unavailable, or scratch too small for the poll's shrink
+        # signal to register (test-scale passes) — the old fixed wait is
+        # both sufficient and cheaper than a 15 s stabilization poll
+        _time.sleep(2)
+        return
+    deadline = _time.monotonic() + 15.0
+    prev = before
+    dropped = False
+    while _time.monotonic() < deadline:
+        _time.sleep(0.5)
+        now = _shuffle_scratch_bytes(spark)
+        if now is None:
+            _time.sleep(1.5)
+            return
+        if now < before // 4:
+            return  # drained well past one pass's share
+        if now < prev:
+            dropped = True
+        elif dropped:
+            return  # shrank, then stabilized — cleaner queue is drained
+        prev = now
 
 
 _CLOSURE_SCRATCH_ENV = "SPARK_GRAFT_CLOSURE_SCRATCH_GB"
@@ -455,7 +543,22 @@ def _closure_passes(n_wedges: int, row_bytes: int = _WEDGE_DISK_BYTES) -> int:
     if budget_gb <= 0:
         return 1
     budget_bytes = int(budget_gb * 2**30)
-    return max(1, min(64, -(-n_wedges * row_bytes // budget_bytes)))
+    need = max(1, -(-n_wedges * row_bytes // budget_bytes))
+    if need > 64:
+        # ADVICE r8: don't proceed silently over-budget — make the
+        # host-too-small case visible BEFORE the disk fills.
+        import warnings
+
+        per_pass = n_wedges * row_bytes / 64 / 2**30
+        warnings.warn(
+            f"grace-pass cap hit: {n_wedges} rows x {row_bytes} B needs "
+            f"{need} passes to honor {_CLOSURE_SCRATCH_ENV}={budget_gb} GB; "
+            f"capped at 64 => ~{per_pass:.1f} GB/pass OVER the budget — "
+            f"this host's scratch is likely too small for this graph",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return min(64, need)
 
 
 def _evidence_partitions(n_wedges: int, base: int) -> int:
@@ -720,31 +823,46 @@ def _jaccard_topk(
 
     order = [F.col("jaccard_ppm").desc(), F.col("u"), F.col("v")]
     passes = _closure_passes(int(n_wedges), _PAIR_DISK_BYTES)
-    if passes == 1:
-        top = _slice_jac(None, None, parts).orderBy(*order).limit(JACC_TOPN)
-    else:
-        p = _evidence_partitions(int(n_wedges) // passes, base_parts)
-        winners = []
-        for i in range(passes):
-            winners += (
-                _slice_jac(
-                    F.pmod(F.xxhash64("u", "v"), F.lit(passes)) == i,
-                    F.pmod(F.xxhash64("src", "dst"), F.lit(passes)) == i,
-                    p,
-                )
+    # Both branches collect their top-{JACC_TOPN} winners (metadata-scale)
+    # so the pinned edge/adjacency frames can be RELEASED before returning
+    # (ADVICE r8: persisted edge-scale blocks otherwise linger for the
+    # whole session, eroding the very scratch budget the grace passes
+    # protect). The returned frame is rebuilt from the winners — it no
+    # longer references the pins.
+    try:
+        if passes == 1:
+            winners = (
+                _slice_jac(None, None, parts)
                 .orderBy(*order)
                 .limit(JACC_TOPN)
                 .collect()
             )
-            _release_pass_shuffles(spark)
-        top = (
-            spark.createDataFrame(
-                winners,
-                f"u bigint, v bigint, {ev_col} bigint, jaccard_ppm bigint",
-            )
-            .orderBy(*order)
-            .limit(JACC_TOPN)
+        else:
+            p = _evidence_partitions(int(n_wedges) // passes, base_parts)
+            winners = []
+            for i in range(passes):
+                winners += (
+                    _slice_jac(
+                        F.pmod(F.xxhash64("u", "v"), F.lit(passes)) == i,
+                        F.pmod(F.xxhash64("src", "dst"), F.lit(passes)) == i,
+                        p,
+                    )
+                    .orderBy(*order)
+                    .limit(JACC_TOPN)
+                    .collect()
+                )
+                _release_pass_shuffles(spark)
+    finally:
+        adj.unpersist(blocking=False)
+        edges.unpersist(blocking=False)
+    top = (
+        spark.createDataFrame(
+            winners,
+            f"u bigint, v bigint, {ev_col} bigint, jaccard_ppm bigint",
         )
+        .orderBy(*order)
+        .limit(JACC_TOPN)
+    )
     w = Window.orderBy(*order)
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"),

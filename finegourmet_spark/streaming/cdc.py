@@ -82,6 +82,24 @@ def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
         for f in cdc.schema.fields
         if f.name.startswith(_NEW)
     }
+    # contract guard (ADVICE r8): an attribute present on BOTH sides must
+    # agree on type — otherwise the folded/opened unionByName below fails
+    # mid-stream with an opaque analysis error. Fail fast with the names.
+    pre_types = {f.name: f.dataType for f in dim.schema.fields}
+    conflicts = {
+        a: (str(pre_types[a]), str(t))
+        for a, t in cdc_types.items()
+        if a in pre_types and pre_types[a] != t
+    }
+    if conflicts:
+        detail = ", ".join(
+            f"{a}: dim={d} vs cdc={c}" for a, (d, c) in sorted(conflicts.items())
+        )
+        raise TypeError(
+            f"apply_scd2_batch: cdc new_<attr> type conflicts with the "
+            f"existing dimension attribute ({detail}); cast the feed to the "
+            f"dimension's type before applying"
+        )
     for a, dtype in cdc_types.items():
         if a not in dim_attrs:
             dim = dim.withColumn(a, F.lit(None).cast(dtype))

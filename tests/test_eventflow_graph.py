@@ -459,3 +459,39 @@ def test_lpa_users_matches_python_model(spark, sf_dir):
     assert got == expected
     assert expected, "fixture should produce a non-trivial user graph"
     assert max(sizes.values()) > 1, "at least one multi-user community"
+
+
+def test_closure_passes_warns_when_capped(monkeypatch):
+    """When honoring the scratch budget would need >64 grace passes the
+    helper caps at 64 but must WARN with the effective per-pass bytes
+    (ADVICE r8: the host-too-small case has to be visible before the disk
+    fills, not after)."""
+    import warnings
+
+    from finegourmet_spark.operators.graph import (
+        _CLOSURE_SCRATCH_ENV,
+        _closure_passes,
+    )
+
+    monkeypatch.setenv(_CLOSURE_SCRATCH_ENV, "1")  # 1 GB budget
+    # 19 B/row x 4e9 rows = ~71 GB -> 71 passes needed, capped at 64
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _closure_passes(4_000_000_000) == 64
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("capped at 64" in m and "GB/pass" in m for m in msgs)
+    # under-cap budgets stay silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _closure_passes(100_000_000) == 2
+    assert not [w for w in caught if w.category is RuntimeWarning]
+
+
+def test_shuffle_scratch_probe_returns_bytes(spark):
+    """The grace-pass cleaner poll reads the block-manager local dirs; the
+    probe must return a non-negative byte count on a live local session
+    (None would silently degrade every pass wait to the fixed fallback)."""
+    from finegourmet_spark.operators.graph import _shuffle_scratch_bytes
+
+    n = _shuffle_scratch_bytes(spark)
+    assert n is not None and n >= 0

@@ -662,3 +662,27 @@ def test_stream_scd2_schema_evolution(spark, tmp_path):
     assert rows2[(1, "2024-03-01")].tier == 3  # history keeps the attr
     assert rows2[(2, "2024-06-01")].tier is None  # batch didn't observe it
     assert rows2[(2, "2024-06-01")].seg == "MOB"
+
+
+def test_scd2_cdc_type_conflict_fails_fast(spark):
+    """A cdc ``new_<attr>`` whose type conflicts with the existing dim
+    attribute must raise a descriptive TypeError BEFORE any Spark action
+    (ADVICE r8) — not an opaque unionByName analysis error mid-stream."""
+    import pytest
+
+    from finegourmet_spark.streaming.cdc import apply_scd2_batch
+
+    dim = spark.createDataFrame(
+        [(1, "AUTO", "2024-01-01", None)],
+        "k BIGINT, seg STRING, valid_from STRING, valid_to STRING",
+    ).select(
+        "k", "seg",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    bad = spark.createDataFrame(
+        [(1, "U", 42, "2024-03-01")],
+        "k BIGINT, op STRING, new_seg BIGINT, eff STRING",
+    ).select("k", "op", "new_seg", F.col("eff").cast("date").alias("eff"))
+    with pytest.raises(TypeError, match="seg.*dim=.*cdc="):
+        apply_scd2_batch(dim, bad)

@@ -11,9 +11,26 @@ exact-duplicate clusters (10 copies ⇒ 45 candidate pairs per cluster) — a
 heavy-duplication corpus, which is precisely the workload dedup exists for;
 pair counts stay LINEAR in corpus size (45 × n_docs/10).
 
-Usage: python tools/make_sf_scale.py [factor] [out_dir]
+NEAR-DUP-RATE-CONTROLLED variant (--mutate, VERDICT r8 item 5): at high
+factors the plain replicator is fixture-QUADRATIC for content-pair ops —
+100 byte-identical copies per document put C(100,2)=4950 candidate pairs
+in every LSH bucket, a stress no real corpus exhibits (near-dup rates stay
+~constant as a corpus grows). --mutate rewrites documents.text and
+embeddings.embedding per copy so that copies 2k and 2k+1 form a NEAR-dup
+pair (light ~2%-token / ε-noise mutation) while different pair-groups are
+far apart (60% of token positions group-salted → 3-gram shingle Jaccard
+~0.06, well under every θ; embeddings pushed cos≈0.3 apart, under the
+0.35-distance near threshold). Per-cluster near-dup pairs are then
+factor/2 — LINEAR in corpus size — so MinHash/LSH/setsim/containment/
+semantic-dedup get real scale rows instead of fixture-quadratic skips.
+All mutations are deterministic (position hashes keyed by the ORIGINAL
+doc id, fixed numpy seeds) — Spark and DuckDB read the same parquet, so
+oracle compares are unaffected.
+
+Usage: python tools/make_sf_scale.py [factor] [out_dir] [--mutate]
   factor  : multiple of sf0.1 to build (default 10 ⇒ sf1)
   out_dir : default /root/repo/.scratch/sf1
+  --mutate: near-dup-rate-controlled documents/embeddings (see above)
 """
 
 from __future__ import annotations
@@ -61,7 +78,78 @@ def _strides() -> dict[str, int]:
     }
 
 
-def build(factor: int, out_dir: Path) -> None:
+# --mutate knobs: group size 2 (consecutive copies pair up), 60% of token
+# positions carry the group salt, ~2% carry the intra-group light salt,
+# embedding group offset magnitude 1.5 (unit vecs → cross-group cos ≈ 0.3),
+# intra-group noise ε = 0.01 (cos ≈ 0.9999)
+_GROUP = 2
+_HEAVY_PCT = 60
+_LIGHT_PCT = 2
+_EMB_ALPHA = 1.5
+_EMB_EPS = 0.01
+
+
+def _mutate_text(text: str, orig_id: int, copy: int) -> str:
+    """Deterministic per-copy token rewrite. Position selection is keyed by
+    the ORIGINAL doc id (identical across copies), so the same positions
+    mutate in every copy — group salt values differ across groups (far),
+    light salt only on the odd member of each pair-group (near)."""
+    g, sub = copy // _GROUP, copy % _GROUP
+    toks = text.split()
+    out = []
+    for j, tok in enumerate(toks):
+        h = (orig_id * 1_000_003 + j * 7_919) % 100
+        if h < _HEAVY_PCT:
+            tok = f"{tok}g{g}"
+        elif sub and h < _HEAVY_PCT + _LIGHT_PCT:
+            tok = f"{tok}x"
+        out.append(tok)
+    return " ".join(out)
+
+
+def _mutate_documents(t: pa.Table, orig_ids, copy: int) -> pa.Table:
+    texts = [
+        _mutate_text(txt, oid, copy)
+        for txt, oid in zip(t["text"].to_pylist(), orig_ids)
+    ]
+    t = t.set_column(
+        t.schema.get_field_index("text"), t.schema.field("text"),
+        pa.array(texts, type=t.schema.field("text").type),
+    )
+    if "n_chars" in t.schema.names:  # keep the length column self-consistent
+        t = t.set_column(
+            t.schema.get_field_index("n_chars"), t.schema.field("n_chars"),
+            pa.array([len(s) for s in texts],
+                     type=t.schema.field("n_chars").type),
+        )
+    return t
+
+
+def _mutate_embeddings(t: pa.Table, copy: int) -> pa.Table:
+    """Unit-norm-preserving per-copy perturbation: one fixed random offset
+    direction per pair-group (pushes groups to cos ≈ 1/(1+α²) ≈ 0.31) plus
+    ε-noise on the odd group member (intra-group cos ≈ 0.9999)."""
+    import numpy as np
+
+    g, sub = copy // _GROUP, copy % _GROUP
+    field = t.schema.field("embedding")
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    dim = vecs.shape[1]
+    off = np.random.RandomState(70_000 + g).standard_normal(dim)
+    off *= _EMB_ALPHA / np.linalg.norm(off)
+    out = vecs + off
+    if sub:
+        out = out + np.random.RandomState(90_000 + copy).standard_normal(
+            vecs.shape
+        ) * _EMB_EPS
+    out /= np.linalg.norm(out, axis=1, keepdims=True)
+    arr = pa.array(
+        [row for row in out.astype(np.float32).tolist()], type=field.type
+    )
+    return t.set_column(t.schema.get_field_index("embedding"), field, arr)
+
+
+def build(factor: int, out_dir: Path, mutate: bool = False) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     strides = _strides()
     for table, cols in KEYS.items():
@@ -70,6 +158,11 @@ def build(factor: int, out_dir: Path) -> None:
             pq.write_table(src, out_dir / f"{table}.parquet")
             print(f"{table}: {src.num_rows} rows (single copy)")
             continue
+        orig_doc_ids = (
+            src["doc_id"].to_pylist()
+            if mutate and table == "documents"
+            else None
+        )
         # stream one shifted copy per row group: peak memory is ONE copy
         # regardless of factor (factor 1000 would need ~60 GB with the old
         # concat-then-write; the parquet schema is taken verbatim from the
@@ -86,12 +179,19 @@ def build(factor: int, out_dir: Path) -> None:
                         field,
                         shifted.cast(field.type),
                     )
+                if mutate and table == "documents":
+                    t = _mutate_documents(t, orig_doc_ids, i)
+                elif mutate and table == "embeddings":
+                    t = _mutate_embeddings(t, i)
                 w.write_table(t)
                 n_rows += t.num_rows
-        print(f"{table}: {n_rows} rows ({factor} copies)")
+        tag = " mutated" if mutate and table in ("documents", "embeddings") else ""
+        print(f"{table}: {n_rows} rows ({factor} copies{tag})")
 
 
 if __name__ == "__main__":
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/repo/.scratch/sf1")
-    build(factor, out)
+    args = [a for a in sys.argv[1:] if a != "--mutate"]
+    mutate = "--mutate" in sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    out = Path(args[1]) if len(args) > 1 else Path("/root/repo/.scratch/sf1")
+    build(factor, out, mutate=mutate)
