@@ -542,7 +542,15 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(d)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    # merge-hint both sides: approxSimilarityJoin's internal bucket join
+    # plans off Catalyst size ESTIMATES, which are unreliable on
+    # SparseVector UDT columns — at sf10 (500k docs) it picked a broadcast
+    # whose build-side collect tripped spark.driver.maxResultSize (1 GB).
+    # A corpus self-join must never broadcast the corpus; the hint rides
+    # the ResolvedHint node through the library's explode into its join.
+    pairs = model.approxSimilarityJoin(
+        feats.hint("merge"), feats.hint("merge"), 0.8, distCol="jaccard_dist"
+    )
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(

@@ -472,22 +472,38 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
-N_PLANES = 16  # 4 tables × 4 sign bits
+N_PLANES = 16  # 4 tables × 4 sign bits (floor; widens with corpus size)
 N_TABLES = 4
 BITS_PER_TABLE = N_PLANES // N_TABLES
+# target mean bucket occupancy: bits/table grows with the corpus so the
+# within-bucket pair space stays O(N · bucket) instead of O(N²/2^bits)
+LSH_TARGET_BUCKET = 64
 
 
 def lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, table, bucket) sign-random-projection LSH assignments.
 
-    16 pseudo-random hyperplanes derived deterministically from
+    Pseudo-random hyperplanes derived deterministically from
     xxhash64(dim_index, plane) (reproducible without a shared RNG — a real
-    deployment would broadcast trained planes). 4 tables × 4 sign bits:
-    4-bit buckets keep collision probability per table high enough for
-    recall, multiple tables give misses another chance — the classic
-    banding trade-off. The projection is a per-row expression; the only
-    shuffle is the candidate join on (table, bucket)."""
+    deployment would broadcast trained planes). 4 tables ×
+    max(4, ⌈log₂(n/{LSH_TARGET_BUCKET})⌉) sign bits each: the bit width is
+    CORPUS-ADAPTIVE (r9) — a fixed 4-bit code means N/16 vectors per
+    bucket, whose within-bucket self-join is O(N²/16) pairs at any scale
+    (the sf10 run at 200k vectors ground ~312M candidate pairs into a heap
+    OOM). Sizing buckets to ~{LSH_TARGET_BUCKET} mean occupancy keeps the
+    candidate set O(N·bucket) — the property that survives 100 TB — while
+    true near-dups (cos ≥ 0.99, per-plane flip ≈ 0.45%) still agree on all
+    bits of ≥1 table with overwhelming probability (miss ≈ 8e-6 at 12
+    bits × 4 tables). Multiple tables give misses another chance — the
+    classic banding trade-off. The projection is a per-row expression; the
+    only shuffle is the candidate join on (table, bucket)."""
+    import math
+
     e = t(spark, sf_dir, "embeddings")
+    n = e.count()  # one metadata-cheap scan to size the code width
+    bits = max(
+        BITS_PER_TABLE, math.ceil(math.log2(max(1.0, n / LSH_TARGET_BUCKET)))
+    )
 
     def plane_component(p: int, i: Column) -> Column:
         # deterministic pseudo-uniform in [-0.5, 0.5) from a 64-bit hash
@@ -513,8 +529,8 @@ def lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(tbl).alias("table"),
             sum(
                 (
-                    sign_bit(tbl * BITS_PER_TABLE + b) * F.lit(1 << b)
-                    for b in range(BITS_PER_TABLE)
+                    sign_bit(tbl * bits + b) * F.lit(1 << b)
+                    for b in range(bits)
                 ),
                 F.lit(0),
             ).alias("bucket"),

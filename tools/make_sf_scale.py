@@ -80,12 +80,11 @@ def _strides() -> dict[str, int]:
 
 # --mutate knobs: group size 2 (consecutive copies pair up), 60% of token
 # positions carry the group salt, ~2% carry the intra-group light salt,
-# embedding group offset magnitude 1.5 (unit vecs → cross-group cos ≈ 0.3),
-# intra-group noise ε = 0.01 (cos ≈ 0.9999)
+# embeddings get a per-group random ROTATION (cross-group cos ~ N(0, 1/8))
+# plus intra-group noise ε = 0.01 (cos ≈ 0.9999)
 _GROUP = 2
 _HEAVY_PCT = 60
 _LIGHT_PCT = 2
-_EMB_ALPHA = 1.5
 _EMB_EPS = 0.01
 
 
@@ -126,18 +125,30 @@ def _mutate_documents(t: pa.Table, orig_ids, copy: int) -> pa.Table:
 
 
 def _mutate_embeddings(t: pa.Table, copy: int) -> pa.Table:
-    """Unit-norm-preserving per-copy perturbation: one fixed random offset
-    direction per pair-group (pushes groups to cos ≈ 1/(1+α²) ≈ 0.31) plus
-    ε-noise on the odd group member (intra-group cos ≈ 0.9999)."""
+    """Per-pair-group RANDOM ROTATION of the embedding space (QR of a
+    seeded Gaussian), plus ε-noise on the odd group member. Rotation is
+    the clean instrument here: it preserves unit norms and every
+    WITHIN-group geometry exactly (different originals keep their original
+    cosines — no per-group blob, uniform LSH buckets), while the same
+    original across two groups becomes v·(Q₁ᵀQ₂)v — a random-direction
+    cosine, N(0, 1/√dim), overwhelmingly below the 0.35 near threshold.
+    (Additive noise can't do this: its cross term α²·u₁·u₂ has σ≈0.1 at
+    dim 64, leaking ~7% of cross-group pairs above the threshold.) The
+    coarse ``label`` cell is remapped per pair-group too — a real
+    quantizer would assign the now-decorrelated groups different cells,
+    and leaving the label shared would keep every label-bucketed candidate
+    join quadratic in the factor no matter what the vectors say."""
     import numpy as np
 
     g, sub = copy // _GROUP, copy % _GROUP
     field = t.schema.field("embedding")
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     dim = vecs.shape[1]
-    off = np.random.RandomState(70_000 + g).standard_normal(dim)
-    off *= _EMB_ALPHA / np.linalg.norm(off)
-    out = vecs + off
+    q, r = np.linalg.qr(
+        np.random.RandomState(70_000 + g).standard_normal((dim, dim))
+    )
+    q *= np.sign(np.diag(r))  # fix QR sign ambiguity: deterministic rotation
+    out = vecs @ q.T
     if sub:
         out = out + np.random.RandomState(90_000 + copy).standard_normal(
             vecs.shape
@@ -146,7 +157,12 @@ def _mutate_embeddings(t: pa.Table, copy: int) -> pa.Table:
     arr = pa.array(
         [row for row in out.astype(np.float32).tolist()], type=field.type
     )
-    return t.set_column(t.schema.get_field_index("embedding"), field, arr)
+    t = t.set_column(t.schema.get_field_index("embedding"), field, arr)
+    lfield = t.schema.field("label")
+    lmax = int(pc.max(t["label"]).as_py() or 0)
+    lstride = 10 ** len(str(lmax + 1))
+    labels = pc.add(t["label"], g * lstride).cast(lfield.type)
+    return t.set_column(t.schema.get_field_index("label"), lfield, labels)
 
 
 def build(factor: int, out_dir: Path, mutate: bool = False) -> None:
