@@ -1185,26 +1185,28 @@ def q_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           CAST(SUM((2 * i - n - 1) * cents) AS DECIMAL(38,0)) AS gini_num,
-           CAST(MAX(n) * SUM(cents) AS DECIMAL(38,0)) AS gini_den
+           CAST((1000000 * SUM(CAST((2 * i - n - 1) * cents AS HUGEINT)))
+                // (MAX(n) * SUM(CAST(cents AS HUGEINT)))
+                AS BIGINT) AS gini_ppm
     FROM indexed
     """,
 )
 def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of customer revenue — the inequality audit a
     marketplace runs on GMV (and a data pipeline runs on shard sizes).
-    Exact rational output: with revenues sorted ascending, Gini =
-    Σ(2i−n−1)·x_i / (n·Σx); numerator and denominator are BIGINTs over
-    integer cents, so no float division ever happens engine-side (Gini =
-    gini_num/gini_den to any precision downstream). Within a tie block the
-    coefficient sum is order-invariant, and the (cents, custkey) ORDER BY
-    makes row_number deterministic anyway (total-order window rule).
-
-    gini_num/gini_den are DECIMAL(38,0), not BIGINT: n·Σcents reaches
-    ~2.25e18 at sf1 — within 4× of int64 max — so at sf10 a BIGINT
-    denominator silently wraps under ANSI-off Spark while DuckDB's HUGEINT
-    throws (r4 ADVICE). |num| ≤ den by construction, so both columns get
-    the 128-bit treatment; per-term products stay comfortably in int64.
+    Exact rational core: with revenues sorted ascending, Gini =
+    Σ(2i−n−1)·x_i / (n·Σx) over integer cents; numerator and denominator
+    are computed in DECIMAL(38,0) (n·Σcents reaches ~2.25e18 at sf1, so
+    int64 would wrap at sf10 — r4 ADVICE), but the CONTRACT BOUNDARY is
+    BIGINT floor-ppm: gini_ppm = (10⁶·num) div den. Top-level
+    DECIMAL(38,0) was the one output shape in the registry that
+    driver-env decimal canonicalization could flake on (r9's sole red
+    row: n·Σcents always carries trailing zeros, and
+    Decimal('5.6e14').normalize() renders E-notation while ints render
+    plain); 0 ≤ ppm ≤ 10⁶ is int-safe in every engine. Within a tie
+    block the coefficient sum is order-invariant, and the
+    (cents, custkey) ORDER BY makes row_number deterministic anyway
+    (total-order window rule).
 
     Scale note: the global-sort window over per-customer rollups is
     support-sized (customers, not orders); at 100 TB the same statistic
@@ -1223,14 +1225,22 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_idx).alias("i"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    return indexed.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.sum(((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("gini_num"),
-        (F.max("n").cast("decimal(38,0)") * F.sum(F.col("cents").cast("decimal(38,0)")))
-        .cast("decimal(38,0)")
-        .alias("gini_den"),
+    return (
+        indexed.agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum(
+                ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("gini_num"),
+            (F.max("n").cast("decimal(38,0)") * F.sum(F.col("cents").cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias("gini_den"),
+        )
+        .select(
+            "n_customers",
+            F.expr("(gini_num * 1000000) div gini_den").cast("bigint").alias("gini_ppm"),
+        )
     )
 
 

@@ -126,11 +126,11 @@ def test_gini_matches_python_model(spark, sf_dir):
     xs = sorted(rev.values())
     n = len(xs)
     num = sum((2 * i - n - 1) * x for i, x in enumerate(xs, 1))
+    den = n * sum(xs)
     row = QUERIES["q_gini_revenue"](spark, sf_dir).collect()[0]
     assert row["n_customers"] == n
-    assert row["gini_num"] == num
-    assert row["gini_den"] == n * sum(xs)
-    assert 0 <= row["gini_num"] <= row["gini_den"]  # 0 ≤ G ≤ 1
+    assert row["gini_ppm"] == (1_000_000 * num) // den
+    assert 0 <= row["gini_ppm"] <= 1_000_000  # 0 ≤ G ≤ 1
 
 
 def test_km_risk_table_matches_python_model(spark, sf_dir):
