@@ -55,6 +55,48 @@ _DIM_META = ("k", "valid_from", "valid_to")
 _CDC_META = ("k", "op", "eff")
 _NEW = "new_"  # cdc attribute columns carry this prefix (new_seg → seg)
 
+# Lossless numeric widening ladder (Spark's own implicit-cast order for
+# integrals/floats). Index = width rank; any pair on the ladder widens to
+# the higher rank.
+_NUM_LADDER = ("byte", "short", "integer", "long", "float", "double")
+
+
+def _common_widened_type(a, b):
+    """The tightest type BOTH ``a`` and ``b`` cast to losslessly, or None
+    if the pair is genuinely incompatible (the unionByName coercion rules
+    this guard replaces, restricted to safe widening — ADVICE r9).
+
+    Handles: the integral/float ladder (int vs long, float vs double,
+    int vs double), decimal-vs-decimal (grow to max integer digits + max
+    scale, capped at 38), and integral-vs-decimal (the decimal wins iff
+    its integer digits can hold the integral's range). Everything else —
+    string vs numeric, temporal vs numeric, narrowing decimals — is None."""
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    def ladder_rank(t):
+        name = t.typeName()
+        return _NUM_LADDER.index(name) if name in _NUM_LADDER else None
+
+    ra, rb = ladder_rank(a), ladder_rank(b)
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        scale = max(a.scale, b.scale)
+        int_digits = max(a.precision - a.scale, b.precision - b.scale)
+        if int_digits + scale > 38:
+            return None
+        return DecimalType(int_digits + scale, scale)
+    # integral ↔ decimal: the decimal must hold the integral's full range
+    _INT_DIGITS = {ByteType: 3, ShortType: 5, IntegerType: 10, LongType: 19}
+    for intg, dec in ((a, b), (b, a)):
+        digits = _INT_DIGITS.get(type(intg))
+        if digits is not None and isinstance(dec, DecimalType):
+            if dec.precision - dec.scale >= digits:
+                return dec
+            widened = digits + dec.scale
+            return DecimalType(widened, dec.scale) if widened <= 38 else None
+    return None
+
 
 def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
     """Fold ONE CDC batch into an SCD2 dimension — the single transition
@@ -82,15 +124,29 @@ def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
         for f in cdc.schema.fields
         if f.name.startswith(_NEW)
     }
-    # contract guard (ADVICE r8): an attribute present on BOTH sides must
-    # agree on type — otherwise the folded/opened unionByName below fails
-    # mid-stream with an opaque analysis error. Fail fast with the names.
+    # contract guard (ADVICE r8, softened per ADVICE r9): an attribute
+    # present on BOTH sides must be type-COMPATIBLE. Coercible pairs that
+    # unionByName always handled (int vs long, float vs double, decimal
+    # precision growth, integral into a wide-enough decimal) are widened
+    # to the common type — the dim side upcasts too, so a producer that
+    # legitimately widens a feed (int ids outgrow int32) keeps working.
+    # Only genuinely incompatible pairs (string vs int, date vs long, a
+    # decimal too narrow for the other side) fail fast with the names.
     pre_types = {f.name: f.dataType for f in dim.schema.fields}
-    conflicts = {
-        a: (str(pre_types[a]), str(t))
-        for a, t in cdc_types.items()
-        if a in pre_types and pre_types[a] != t
-    }
+    conflicts: dict[str, tuple[str, str]] = {}
+    widen_dim: dict[str, object] = {}
+    widen_cdc: dict[str, object] = {}
+    for a, ct in cdc_types.items():
+        if a not in pre_types or pre_types[a] == ct:
+            continue
+        common = _common_widened_type(pre_types[a], ct)
+        if common is None:
+            conflicts[a] = (str(pre_types[a]), str(ct))
+        else:
+            if common != pre_types[a]:
+                widen_dim[a] = common
+            if common != ct:
+                widen_cdc[a] = common
     if conflicts:
         detail = ", ".join(
             f"{a}: dim={d} vs cdc={c}" for a, (d, c) in sorted(conflicts.items())
@@ -100,6 +156,11 @@ def apply_scd2_batch(dim: DataFrame, cdc: DataFrame) -> DataFrame:
             f"existing dimension attribute ({detail}); cast the feed to the "
             f"dimension's type before applying"
         )
+    for a, common in widen_dim.items():
+        dim = dim.withColumn(a, F.col(a).cast(common))
+    for a, common in widen_cdc.items():
+        cdc = cdc.withColumn(_NEW + a, F.col(_NEW + a).cast(common))
+        cdc_types[a] = common
     for a, dtype in cdc_types.items():
         if a not in dim_attrs:
             dim = dim.withColumn(a, F.lit(None).cast(dtype))

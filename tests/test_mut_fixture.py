@@ -13,12 +13,13 @@ BASELINE.md stop meaning what they claim.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from make_sf_scale import build  # noqa: E402
 

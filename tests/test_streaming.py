@@ -686,3 +686,63 @@ def test_scd2_cdc_type_conflict_fails_fast(spark):
     ).select("k", "op", "new_seg", F.col("eff").cast("date").alias("eff"))
     with pytest.raises(TypeError, match="seg.*dim=.*cdc="):
         apply_scd2_batch(dim, bad)
+
+
+def test_scd2_cdc_widening_types_coerce(spark):
+    """Coercible type pairs must NOT raise (ADVICE r9): an int dim attr
+    fed by a long cdc column widens to long on BOTH sides (the coercion
+    unionByName always applied), and a decimal feed with grown precision
+    widens the dim. Only genuinely incompatible pairs fail."""
+    import pytest
+
+    from finegourmet_spark.streaming.cdc import apply_scd2_batch
+
+    dim = spark.createDataFrame(
+        [(1, 7, "2024-01-01", None)],
+        "k BIGINT, tier INT, valid_from STRING, valid_to STRING",
+    ).select(
+        "k", "tier",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    wide = spark.createDataFrame(
+        [(1, "U", 5_000_000_000, "2024-03-01")],
+        "k BIGINT, op STRING, new_tier BIGINT, eff STRING",
+    ).select("k", "op", "new_tier", F.col("eff").cast("date").alias("eff"))
+    out = apply_scd2_batch(dim, wide)
+    assert dict(out.dtypes)["tier"] == "bigint"
+    rows = {(r.k, str(r.valid_from)): r for r in out.collect()}
+    assert rows[(1, "2024-01-01")].tier == 7  # history upcast losslessly
+    assert rows[(1, "2024-03-01")].tier == 5_000_000_000
+
+    # decimal precision growth: dim decimal(10,2) + cdc decimal(14,2) → ok
+    dim_d = spark.createDataFrame(
+        [(1, "2024-01-01", None)],
+        "k BIGINT, valid_from STRING, valid_to STRING",
+    ).select(
+        "k",
+        F.lit("12345678.25").cast("decimal(10,2)").alias("amt"),
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    cdc_d = spark.createDataFrame(
+        [(1, "U", "123456789012.50", "2024-03-01")],
+        "k BIGINT, op STRING, new_amt STRING, eff STRING",
+    ).select(
+        "k", "op",
+        F.col("new_amt").cast("decimal(14,2)").alias("new_amt"),
+        F.col("eff").cast("date").alias("eff"),
+    )
+    out_d = apply_scd2_batch(dim_d, cdc_d)
+    assert dict(out_d.dtypes)["amt"] == "decimal(14,2)"
+    rows_d = {str(r.valid_from): r for r in out_d.collect()}
+    assert str(rows_d["2024-01-01"].amt) == "12345678.25"
+    assert str(rows_d["2024-03-01"].amt) == "123456789012.50"
+
+    # string vs numeric is still a hard, descriptive error
+    bad = spark.createDataFrame(
+        [(1, "U", "not-a-number", "2024-03-01")],
+        "k BIGINT, op STRING, new_tier STRING, eff STRING",
+    ).select("k", "op", "new_tier", F.col("eff").cast("date").alias("eff"))
+    with pytest.raises(TypeError, match="tier.*dim=.*cdc="):
+        apply_scd2_batch(dim, bad)

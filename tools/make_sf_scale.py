@@ -179,10 +179,15 @@ def build(factor: int, out_dir: Path, mutate: bool = False) -> None:
             if mutate and table == "documents"
             else None
         )
-        # stream one shifted copy per row group: peak memory is ONE copy
-        # regardless of factor (factor 1000 would need ~60 GB with the old
+        # write one shifted whole-table copy per iteration: peak memory is
+        # ONE copy of the source table regardless of factor — plus, under
+        # --mutate, the text/embedding columns of that copy materialized
+        # as Python lists (factor 1000 would need ~60 GB with the old
         # concat-then-write; the parquet schema is taken verbatim from the
-        # source table, so physical types survive exactly as before)
+        # source table, so physical types survive exactly as before). If a
+        # much larger SOURCE fixture ever feeds this, mutate per record
+        # batch instead of per full table (ADVICE r9) — today's sources
+        # are ≤150 MB so one copy + pylists is ≪1 GB.
         n_rows = 0
         with pq.ParquetWriter(out_dir / f"{table}.parquet", src.schema) as w:
             for i in range(factor):
