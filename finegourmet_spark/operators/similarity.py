@@ -154,6 +154,17 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prelude below, so the twin queries cannot silently diverge (r3 review)
 EMB_NEAR_THETA = 0.35
 
+# Hot-cell sub-split cap (VERDICT r9 item 5 / r9 ROADMAP handoff): a cell
+# with c members puts a c² candidate block through ONE task of the pair
+# join — at 100 TB a skewed quantizer cell is a straggler-then-OOM. Cells
+# above the cap are sub-split into s = ceil(c/cap) hash buckets and the
+# join enumerates the s(s+1)/2 sub-block PAIRS, so every within-cell pair
+# still meets exactly once (this op is exact dedup — pairs can't be
+# SAMPLED away like the Jaccard hub cap does) while per-task work is
+# bounded by ~cap². Replication cost: each hot-cell row joins ~s/2
+# blocks; cells at-or-under the cap keep s=1 and pay nothing.
+EMB_CELL_CAP = 50_000
+
 
 @query(
     "q_dedup_embedding",
@@ -172,21 +183,55 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell (label) bucket join, exact cosine filter at θ-threshold —
     the semantic-dedup step of a training-data pipeline (near-identical
     passages with different surface forms). Same O(N²/cells) shape as
-    q_similarity_ivf; at 100 TB the cells come from a trained quantizer."""
+    q_similarity_ivf; at 100 TB the cells come from a trained quantizer.
+
+    Hot-cell bound (r10): cells larger than EMB_CELL_CAP are sub-split
+    into s = ceil(c/cap) xxhash buckets and the candidate join runs on
+    (label, sub_i, sub_j) BLOCK keys, i ≤ j — each unordered within-cell
+    pair meets in exactly one block (its lower-sub member on the A side),
+    diagonal blocks dedupe by vec_id order, cross blocks normalize with
+    least/greatest — so the output pair set is IDENTICAL to the plain
+    cell join (the DuckDB oracle is unchanged) while the worst task sees
+    ~cap² candidate work instead of c². Cell sizes are a label-keyed agg
+    (support-scale) broadcast back onto the corpus."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    cells = e.groupBy("label").agg(F.count(F.lit(1)).alias("c_sz"))
+    n_sub = F.greatest(
+        F.lit(1), F.ceil(F.col("c_sz") / F.lit(EMB_CELL_CAP))
+    ).cast("int")
+    es = e.join(
+        F.broadcast(cells.select("label", n_sub.alias("n_sub"))), "label"
+    ).withColumn(
+        "sub", F.pmod(F.xxhash64(F.col("vec_id")), F.col("n_sub")).cast("int")
+    )
+    a = es.select(
+        "vec_id", "label", "embedding", "vnorm",
+        F.col("sub").alias("ib"),
+        F.explode(F.sequence(F.col("sub"), F.col("n_sub") - 1)).alias("jb"),
+    ).alias("a")
+    b = es.select(
+        "vec_id", "label", "embedding", "vnorm",
+        F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("ib"),
+        F.col("sub").alias("jb"),
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.ib") == F.col("b.ib"))
+            & (F.col("a.jb") == F.col("b.jb"))
+            # diagonal blocks see both orderings of a pair — keep one;
+            # cross blocks see exactly one ordering — keep it whichever
+            & (
+                (F.col("a.ib") != F.col("a.jb"))
+                | (F.col("a.vec_id") < F.col("b.vec_id"))
+            ),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
             F.round(
                 dot(F.col("a.embedding"), F.col("b.embedding"))
                 / (F.col("a.vnorm") * F.col("b.vnorm")),
