@@ -163,7 +163,18 @@ EMB_NEAR_THETA = 0.35
 # SAMPLED away like the Jaccard hub cap does) while per-task work is
 # bounded by ~cap². Replication cost: each hot-cell row joins ~s/2
 # blocks; cells at-or-under the cap keep s=1 and pay nothing.
-EMB_CELL_CAP = 50_000
+#
+# Default choice (measured, sf10-mut 200k vectors / 436-member cells,
+# identical 178,458 rows on every setting): finer blocking is FASTER
+# locally — cap 64/160/256 → 26.5/30.0/33.8 s vs ~44-47 s plain — because
+# the join's per-key match buffer goes quadratic in the cell size well
+# before anything OOMs. But replication scales with c/(2·cap), so a tiny
+# cap on a genuinely hot 100 TB cell (say 1M members) would multiply
+# shuffle volume by hundreds. 4096 bounds the worst block to ~17M cosines
+# (seconds of work) while keeping pathological-cell replication ≤ ~125×;
+# corpora whose cells all fit stay on the plain join via the adaptive
+# max-cell probe.
+EMB_CELL_CAP = 4096
 
 
 @query(
@@ -185,19 +196,57 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages with different surface forms). Same O(N²/cells) shape as
     q_similarity_ivf; at 100 TB the cells come from a trained quantizer.
 
-    Hot-cell bound (r10): cells larger than EMB_CELL_CAP are sub-split
+    Hot-cell bound (r10, ADAPTIVE): one support-scale action reads the
+    max cell size; if every cell fits EMB_CELL_CAP the plain cell join
+    runs untouched (measured: the sub-split plumbing alone cost ~30% at
+    sf10-mut where no cell is hot). Otherwise hot cells are sub-split
     into s = ceil(c/cap) xxhash buckets and the candidate join runs on
     (label, sub_i, sub_j) BLOCK keys, i ≤ j — each unordered within-cell
     pair meets in exactly one block (its lower-sub member on the A side),
     diagonal blocks dedupe by vec_id order, cross blocks normalize with
     least/greatest — so the output pair set is IDENTICAL to the plain
     cell join (the DuckDB oracle is unchanged) while the worst task sees
-    ~cap² candidate work instead of c². Cell sizes are a label-keyed agg
-    (support-scale) broadcast back onto the corpus."""
+    ~cap² candidate work instead of c². At 100 TB the max-cell probe
+    comes from the quantizer's training stats instead of an agg."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm")
     )
     cells = e.groupBy("label").agg(F.count(F.lit(1)).alias("c_sz"))
+    max_cell = cells.agg(F.max("c_sz")).first()[0] or 0
+    scored = (
+        _emb_pairs_plain(e)
+        if max_cell <= EMB_CELL_CAP
+        else _emb_pairs_subsplit(e, cells)
+    )
+    return scored.filter(F.col("cos_sim") >= EMB_NEAR_THETA)
+
+
+def _emb_cos(a_emb, b_emb, a_n, b_n):
+    return F.round(dot(a_emb, b_emb) / (a_n * b_n), 6).alias("cos_sim")
+
+
+def _emb_pairs_plain(e: DataFrame) -> DataFrame:
+    """All within-cell pairs, one equi-join on the cell key — the fast
+    path when no cell exceeds EMB_CELL_CAP."""
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _emb_cos(
+            F.col("a.embedding"), F.col("b.embedding"),
+            F.col("a.vnorm"), F.col("b.vnorm"),
+        ),
+    )
+
+
+def _emb_pairs_subsplit(e: DataFrame, cells: DataFrame) -> DataFrame:
+    """All within-cell pairs via (label, sub_i, sub_j) block enumeration —
+    the bounded path once a cell exceeds EMB_CELL_CAP. Same pair set as
+    the plain join (see q_dedup_embedding docstring)."""
     n_sub = F.greatest(
         F.lit(1), F.ceil(F.col("c_sz") / F.lit(EMB_CELL_CAP))
     ).cast("int")
@@ -216,29 +265,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("ib"),
         F.col("sub").alias("jb"),
     ).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.ib") == F.col("b.ib"))
-            & (F.col("a.jb") == F.col("b.jb"))
-            # diagonal blocks see both orderings of a pair — keep one;
-            # cross blocks see exactly one ordering — keep it whichever
-            & (
-                (F.col("a.ib") != F.col("a.jb"))
-                | (F.col("a.vec_id") < F.col("b.vec_id"))
-            ),
-        )
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
-            F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.vnorm") * F.col("b.vnorm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= EMB_NEAR_THETA)
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.ib") == F.col("b.ib"))
+        & (F.col("a.jb") == F.col("b.jb"))
+        # diagonal blocks see both orderings of a pair — keep one;
+        # cross blocks see exactly one ordering — keep it whichever
+        & (
+            (F.col("a.ib") != F.col("a.jb"))
+            | (F.col("a.vec_id") < F.col("b.vec_id"))
+        ),
+    ).select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+        _emb_cos(
+            F.col("a.embedding"), F.col("b.embedding"),
+            F.col("a.vnorm"), F.col("b.vnorm"),
+        ),
     )
 
 

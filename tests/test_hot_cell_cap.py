@@ -89,6 +89,17 @@ def test_hot_cell_cap_preserves_exact_pair_set(spark, emb_dir, monkeypatch):
     assert any(a < 1000 for a, _ in want)
 
 
+def test_under_cap_uses_plain_join(spark, emb_dir):
+    """Adaptive dispatch: with the default cap no cell here is hot, so
+    the plan must be the plain cell join — no Generate (explode) node,
+    no sub-bucket machinery — and the pair set is the same."""
+    df = q_dedup_embedding(spark, emb_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    got = {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+    assert got == set(_python_pairs(emb_dir))
+
+
 def test_hot_cell_cap_bounds_sub_cells(spark, emb_dir, monkeypatch):
     """The hot cell must actually split: >1 sub-bucket, and no sub-bucket
     anywhere near the unsplit cell size (xxhash spread, not a hard bound —
