@@ -1,0 +1,117 @@
+"""Bounded within-cell self-pair enumeration — the shared hot-cell guard.
+
+Several operators enumerate all pairs of rows that share a coarse CELL key
+(quantizer cell for embedding dedup, customer basket for item-item CF, grid
+cell for spatial neighbors). The plain equi-self-join is exact and cheap
+until ONE cell is skewed: a cell with c members puts a c² candidate block
+through a single task — straggler, then OOM, at 100 TB scale (the class of
+failure VERDICT r9 item 5 flagged for q_dedup_embedding).
+
+:func:`bounded_cell_self_join` is the shared fix. Cells above ``cap`` are
+sub-split into s = ceil(c/cap) xxhash buckets and the join enumerates the
+s(s+1)/2 sub-block PAIRS on (cell, sub_i, sub_j) keys with i ≤ j:
+
+* every unordered within-cell pair still meets EXACTLY once — its
+  lower-sub member arrives on the A side; diagonal blocks (i == j) see
+  both orderings and dedupe by id order — so output semantics (and any
+  DuckDB oracle) are unchanged: this bounds task granularity, it does not
+  sample (unlike the Jaccard hub cap, which is a documented approximation);
+* the worst task sees ~cap² candidate work instead of c²;
+* replication cost is ~s/2 extra copies of hot-cell rows only; dispatch is
+  ADAPTIVE on one support-scale max-cell probe, so corpora with no hot cell
+  keep the plain join and pay nothing (measured: the always-on sub-split
+  plumbing alone cost ~30% at sf10-mut — BASELINE.md r10).
+
+Column contract: the result carries every input column twice, prefixed
+``a_`` / ``b_``. Side assignment is arbitrary on the sub-split path, so
+callers needing a canonical pair order must normalize with
+least/greatest — symmetric payloads (cosine, co-counts) don't care.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bounded_cell_self_join(
+    df: DataFrame,
+    cell_col: str,
+    id_col: str,
+    cap: int,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """All unordered pairs of distinct rows sharing ``cell_col``, each
+    exactly once, as ``a_*`` / ``b_*`` columns; per-task candidate work
+    bounded by ~``cap``². ``cells`` may pass a precomputed
+    (cell_col, c_sz) frame to avoid a second support-scale agg."""
+    if cells is None:
+        cells = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("c_sz"))
+    max_cell = cells.agg(F.max("c_sz")).first()[0] or 0
+
+    def side(prefix: str, extra: dict) -> DataFrame:
+        cols = [F.col(c).alias(f"{prefix}_{c}") for c in df.columns]
+        return extra["frame"].select(*cols, *extra["keys"])
+
+    if max_cell <= cap:
+        a = side("a", {"frame": df, "keys": []})
+        b = side("b", {"frame": df, "keys": []})
+        return a.join(
+            b,
+            (F.col(f"a_{cell_col}") == F.col(f"b_{cell_col}"))
+            & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")),
+        )
+
+    # Attach split factors via the HOT cells only (c_sz > cap — at most
+    # N/cap rows, usually a handful) with a LEFT join and no broadcast
+    # hint: the full (cell, n_sub) frame is one row per distinct cell,
+    # which SCALES with the corpus (per-customer for item-item CF), and a
+    # forced hint on a scaling frame is exactly what the r6 broadcast
+    # policy freeze forbids — the allowlist test caught this helper's
+    # first draft doing it. AQE broadcasts the hot set when it is small
+    # and falls back to a co-keyed shuffle join when it is not.
+    hot = cells.filter(F.col("c_sz") > cap).select(
+        cell_col,
+        F.ceil(F.col("c_sz") / F.lit(cap)).cast("int").alias("n_sub"),
+    )
+    es = (
+        df.join(hot, cell_col, "left")
+        .withColumn("n_sub", F.coalesce(F.col("n_sub"), F.lit(1)))
+        .withColumn(
+            "sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("n_sub")).cast("int")
+        )
+    )
+    a = side(
+        "a",
+        {
+            "frame": es,
+            "keys": [
+                F.col("sub").alias("ib"),
+                F.explode(
+                    F.sequence(F.col("sub"), F.col("n_sub") - 1)
+                ).alias("jb"),
+            ],
+        },
+    )
+    b = side(
+        "b",
+        {
+            "frame": es,
+            "keys": [
+                F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("ib"),
+                F.col("sub").alias("jb"),
+            ],
+        },
+    )
+    return a.join(
+        b.withColumnRenamed("ib", "b_ib").withColumnRenamed("jb", "b_jb"),
+        (F.col(f"a_{cell_col}") == F.col(f"b_{cell_col}"))
+        & (F.col("ib") == F.col("b_ib"))
+        & (F.col("jb") == F.col("b_jb"))
+        # diagonal blocks see both orderings of a pair — keep one; cross
+        # blocks see exactly one ordering — keep it whichever way round
+        & (
+            (F.col("ib") != F.col("jb"))
+            | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        ),
+    ).drop("ib", "jb", "b_ib", "b_jb")

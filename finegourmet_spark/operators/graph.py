@@ -1099,6 +1099,10 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CF_MIN_CO = 2  # pairs below this co-purchase support are noise
 CF_TOPN = 3  # similar items kept per item
+# Hot-basket cap: max distinct parts per customer a single pair-join task
+# block may see (the embedding hot-cell policy, operators/cellpairs.py —
+# worst task ~cap² pair rows, replication only on baskets over the cap).
+CF_USER_CAP = 4096
 
 
 @query(
@@ -1142,12 +1146,22 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so top-k by cos² IS top-k by cosine.
 
     Scale shape: collapse to DISTINCT (customer, part) first (user-grain,
-    map-side combined), self-join on the customer key — fan-out bounded by
-    per-customer basket size², the same bounded-pair argument as
-    q_cooccurrence_lift — then two ITEM-scale count joins onto the pair
-    frame and one per-item top-k window. Item-count frames are
-    vocabulary-scale (≪ pairs) and broadcast when small; co_users ≥
-    CF_MIN_CO prunes the pair tail before the joins."""
+    map-side combined), self-join on the customer key — fan-out is
+    basket size² per customer, which is EXACTLY the hot-cell exposure
+    q_dedup_embedding's r10 audit flagged (one bot/reseller account with
+    10⁵ distinct parts = 10¹⁰ pairs through a single task), so the join
+    goes through the shared bounded_cell_self_join guard
+    (operators/cellpairs.py, cap {CF_USER_CAP}): baskets above the cap
+    sub-split into hash blocks, every co-purchase pair still counted
+    exactly once, worst task ~cap². The helper yields each unordered
+    pair once; co-counts are symmetric, so the ordered (pa, pb) frame
+    the ranking needs is the unordered count mirrored — half the agg
+    input of the old both-orderings join. Then two ITEM-scale count
+    joins onto the pair frame and one per-item top-k window. Item-count
+    frames are vocabulary-scale (≪ pairs) and broadcast when small;
+    co_users ≥ CF_MIN_CO prunes the pair tail before the joins."""
+    from finegourmet_spark.operators.cellpairs import bounded_cell_self_join
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     up = (
@@ -1158,12 +1172,19 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     nu = up.groupBy("pk").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
-    a, b = up.alias("a"), up.alias("b")
-    co = (
-        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.pk") != F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+    half = (
+        bounded_cell_self_join(up, "u", "pk", CF_USER_CAP)
+        .groupBy(
+            F.least(F.col("a_pk"), F.col("b_pk")).alias("pa"),
+            F.greatest(F.col("a_pk"), F.col("b_pk")).alias("pb"),
+        )
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
         .filter(F.col("c") >= CF_MIN_CO)
+    )
+    co = half.unionByName(
+        half.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "c"
+        )
     )
     na = nu.select(F.col("pk").alias("pa"), F.col("n").alias("na"))
     nb = nu.select(F.col("pk").alias("pb"), F.col("n").alias("nb"))

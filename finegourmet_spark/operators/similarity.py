@@ -207,83 +207,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     least/greatest — so the output pair set is IDENTICAL to the plain
     cell join (the DuckDB oracle is unchanged) while the worst task sees
     ~cap² candidate work instead of c². At 100 TB the max-cell probe
-    comes from the quantizer's training stats instead of an agg."""
+    comes from the quantizer's training stats instead of an agg. The
+    block-pair machinery is shared (operators/cellpairs.py) — item-item
+    CF's basket self-join carries the same exposure and uses the same
+    guard."""
+    from finegourmet_spark.operators.cellpairs import bounded_cell_self_join
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm")
     )
-    cells = e.groupBy("label").agg(F.count(F.lit(1)).alias("c_sz"))
-    max_cell = cells.agg(F.max("c_sz")).first()[0] or 0
-    scored = (
-        _emb_pairs_plain(e)
-        if max_cell <= EMB_CELL_CAP
-        else _emb_pairs_subsplit(e, cells)
-    )
-    return scored.filter(F.col("cos_sim") >= EMB_NEAR_THETA)
-
-
-def _emb_cos(a_emb, b_emb, a_n, b_n):
-    return F.round(dot(a_emb, b_emb) / (a_n * b_n), 6).alias("cos_sim")
-
-
-def _emb_pairs_plain(e: DataFrame) -> DataFrame:
-    """All within-cell pairs, one equi-join on the cell key — the fast
-    path when no cell exceeds EMB_CELL_CAP."""
-    a, b = e.alias("a"), e.alias("b")
-    return a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        _emb_cos(
-            F.col("a.embedding"), F.col("b.embedding"),
-            F.col("a.vnorm"), F.col("b.vnorm"),
-        ),
-    )
-
-
-def _emb_pairs_subsplit(e: DataFrame, cells: DataFrame) -> DataFrame:
-    """All within-cell pairs via (label, sub_i, sub_j) block enumeration —
-    the bounded path once a cell exceeds EMB_CELL_CAP. Same pair set as
-    the plain join (see q_dedup_embedding docstring)."""
-    n_sub = F.greatest(
-        F.lit(1), F.ceil(F.col("c_sz") / F.lit(EMB_CELL_CAP))
-    ).cast("int")
-    es = e.join(
-        F.broadcast(cells.select("label", n_sub.alias("n_sub"))), "label"
-    ).withColumn(
-        "sub", F.pmod(F.xxhash64(F.col("vec_id")), F.col("n_sub")).cast("int")
-    )
-    a = es.select(
-        "vec_id", "label", "embedding", "vnorm",
-        F.col("sub").alias("ib"),
-        F.explode(F.sequence(F.col("sub"), F.col("n_sub") - 1)).alias("jb"),
-    ).alias("a")
-    b = es.select(
-        "vec_id", "label", "embedding", "vnorm",
-        F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("ib"),
-        F.col("sub").alias("jb"),
-    ).alias("b")
-    return a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.ib") == F.col("b.ib"))
-        & (F.col("a.jb") == F.col("b.jb"))
-        # diagonal blocks see both orderings of a pair — keep one;
-        # cross blocks see exactly one ordering — keep it whichever
-        & (
-            (F.col("a.ib") != F.col("a.jb"))
-            | (F.col("a.vec_id") < F.col("b.vec_id"))
-        ),
-    ).select(
-        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
-        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
-        _emb_cos(
-            F.col("a.embedding"), F.col("b.embedding"),
-            F.col("a.vnorm"), F.col("b.vnorm"),
-        ),
-    )
+    pairs = bounded_cell_self_join(e, "label", "vec_id", EMB_CELL_CAP)
+    return pairs.select(
+        F.least(F.col("a_vec_id"), F.col("b_vec_id")).alias("vec_a"),
+        F.greatest(F.col("a_vec_id"), F.col("b_vec_id")).alias("vec_b"),
+        F.round(
+            dot(F.col("a_embedding"), F.col("b_embedding"))
+            / (F.col("a_vnorm") * F.col("b_vnorm")),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= EMB_NEAR_THETA)
 
 
 # Candidate-keep slack for the GEMM pruner, in cosine units. BLAS pairwise

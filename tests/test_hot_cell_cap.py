@@ -100,6 +100,46 @@ def test_under_cap_uses_plain_join(spark, emb_dir):
     assert got == set(_python_pairs(emb_dir))
 
 
+def test_bounded_cell_self_join_exact_pair_multiset(spark):
+    """The shared helper (operators/cellpairs.py) must yield every
+    unordered within-cell pair exactly once on BOTH paths — checked by
+    comparing the full pair multiset against itertools at a cap that
+    splits one cell several ways."""
+    from itertools import combinations
+
+    from finegourmet_spark.operators.cellpairs import bounded_cell_self_join
+
+    rows = [(u, p) for u in range(4) for p in range(100 + u * 37)]
+    df = spark.createDataFrame(rows, "u INT, pk INT")
+    want = sorted(
+        (u, a, b)
+        for u in range(4)
+        for a, b in combinations(range(100 + u * 37), 2)
+    )
+    for cap in (16, 1000):  # sub-split path, then plain path
+        got = sorted(
+            (r["a_u"], min(r["a_pk"], r["b_pk"]), max(r["a_pk"], r["b_pk"]))
+            for r in bounded_cell_self_join(df, "u", "pk", cap).collect()
+        )
+        assert got == want, f"cap={cap}: {len(got)} vs {len(want)} pairs"
+
+
+def test_item_item_cf_hot_basket_invariant(spark, sf_dir, monkeypatch):
+    """q_item_item_cf through the basket cap: forcing every basket to
+    sub-split (cap=2) must reproduce the default-cap result exactly —
+    co-counts are a pure function of the data, not of the blocking."""
+    import finegourmet_spark.operators.graph as g
+
+    key = lambda r: (r["part_a"], r["part_b"])  # noqa: E731
+    base = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+            for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    monkeypatch.setattr(g, "CF_USER_CAP", 2)
+    forced = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+              for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    assert base == forced
+    assert base  # non-trivial result at sf0.001
+
+
 def test_hot_cell_cap_bounds_sub_cells(spark, emb_dir, monkeypatch):
     """The hot cell must actually split: >1 sub-bucket, and no sub-bucket
     anywhere near the unsplit cell size (xxhash spread, not a hard bound —
