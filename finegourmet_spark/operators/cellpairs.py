@@ -33,6 +33,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Pair rows per output partition of the cost-sized join (the
+# graph._evidence_partitions rule, restated here to avoid a circular
+# import): ~2M pair rows keeps each task's partial-agg / filter working
+# set ≈ tens of MB, so 32 concurrent local tasks fit a default 8 GB heap.
+_PAIR_ROWS_PER_PART = 2_000_000
+
+
+def _pair_partitions(total_pairs: int, base: int) -> int:
+    """Never below the session width, one partition per
+    {_PAIR_ROWS_PER_PART} expected pair rows above it, capped at 4096
+    (AQE coalesces unneeded ones at low SF)."""
+    return max(base, min(4096, 1 + total_pairs // _PAIR_ROWS_PER_PART))
+
 
 def bounded_cell_self_join(
     df: DataFrame,
@@ -40,27 +53,59 @@ def bounded_cell_self_join(
     id_col: str,
     cap: int,
     cells: DataFrame | None = None,
-) -> DataFrame:
+    return_parts: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """All unordered pairs of distinct rows sharing ``cell_col``, each
     exactly once, as ``a_*`` / ``b_*`` columns; per-task candidate work
     bounded by ~``cap``². ``cells`` may pass a precomputed
-    (cell_col, c_sz) frame to avoid a second support-scale agg."""
+    (cell_col, c_sz) frame to avoid a second support-scale agg.
+
+    The join's exchange is COST-SIZED from the exact expected pair count
+    Σ c(c−1)/2 (a support-scale agg over ``cells``) instead of
+    inheriting the session shuffle width: at sf10 item-item CF emits
+    ~1.3e9 raw pair rows, and 32 inherited partitions put a ~40M-row
+    partial-agg hash map through every task — measured
+    AGGREGATE_OUT_OF_MEMORY on the default 8 GB heap (r10, the same
+    inherited-width failure the pagerank exchange fix closed). Both
+    probe scalars (max cell, total pairs) come from ONE .first().
+
+    ``return_parts=True`` also returns the chosen width: a caller that
+    AGGREGATES over pair-derived keys must re-use it for its own
+    exchange — near-unique pair keys defeat the map-side combine, so the
+    agg's final hash maps see ~all pair rows and a session-width (32)
+    exchange re-creates the OOM one stage later (measured: CF's pair agg
+    died at stage 59 after the join itself was fixed)."""
+    spark = df.sparkSession
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base = 32
     if cells is None:
         cells = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("c_sz"))
-    max_cell = cells.agg(F.max("c_sz")).first()[0] or 0
+    stats = cells.agg(
+        F.max("c_sz"),
+        F.sum(F.col("c_sz").cast("double") * (F.col("c_sz") - 1) / 2),
+    ).first()
+    max_cell = stats[0] or 0
+    parts = _pair_partitions(int(stats[1] or 0), base)
 
     def side(prefix: str, extra: dict) -> DataFrame:
         cols = [F.col(c).alias(f"{prefix}_{c}") for c in df.columns]
         return extra["frame"].select(*cols, *extra["keys"])
 
     if max_cell <= cap:
-        a = side("a", {"frame": df, "keys": []})
-        b = side("b", {"frame": df, "keys": []})
-        return a.join(
+        a = side("a", {"frame": df, "keys": []}).repartition(
+            parts, f"a_{cell_col}"
+        )
+        b = side("b", {"frame": df, "keys": []}).repartition(
+            parts, f"b_{cell_col}"
+        )
+        out = a.join(
             b,
             (F.col(f"a_{cell_col}") == F.col(f"b_{cell_col}"))
             & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")),
         )
+        return (out, parts) if return_parts else out
 
     # Attach split factors via the HOT cells only (c_sz > cap — at most
     # N/cap rows, usually a handful) with a LEFT join and no broadcast
@@ -92,7 +137,7 @@ def bounded_cell_self_join(
                 ).alias("jb"),
             ],
         },
-    )
+    ).repartition(parts, f"a_{cell_col}", "ib", "jb")
     b = side(
         "b",
         {
@@ -103,8 +148,10 @@ def bounded_cell_self_join(
             ],
         },
     )
-    return a.join(
-        b.withColumnRenamed("ib", "b_ib").withColumnRenamed("jb", "b_jb"),
+    out = a.join(
+        b.withColumnRenamed("ib", "b_ib")
+        .withColumnRenamed("jb", "b_jb")
+        .repartition(parts, f"b_{cell_col}", "b_ib", "b_jb"),
         (F.col(f"a_{cell_col}") == F.col(f"b_{cell_col}"))
         & (F.col("ib") == F.col("b_ib"))
         & (F.col("jb") == F.col("b_jb"))
@@ -115,3 +162,4 @@ def bounded_cell_self_join(
             | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
         ),
     ).drop("ib", "jb", "b_ib", "b_jb")
+    return (out, parts) if return_parts else out

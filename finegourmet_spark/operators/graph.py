@@ -1160,6 +1160,8 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins onto the pair frame and one per-item top-k window. Item-count
     frames are vocabulary-scale (≪ pairs) and broadcast when small;
     co_users ≥ CF_MIN_CO prunes the pair tail before the joins."""
+    from pyspark import StorageLevel
+
     from finegourmet_spark.operators.cellpairs import bounded_cell_self_join
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1168,16 +1170,31 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("pk"))
         .distinct()
-        # consumed three times (pair self-join both sides, item counts)
-        .localCheckpoint()
+        # consumed three times (pair self-join both sides, item counts) —
+        # pinned DISK_ONLY, not localCheckpoint: the checkpoint's default
+        # MEMORY_AND_DISK blocks held the data-scale (u, pk) frame in the
+        # unified pool and starved the pair agg's pages on the default
+        # 8 GB heap at sf10 (measured AGGREGATE_OUT_OF_MEMORY, r10);
+        # disk blocks keep the reuse without the memory squeeze.
+        .persist(StorageLevel.DISK_ONLY)
     )
+    up.count()  # materialize the pin before fan-out
     nu = up.groupBy("pk").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    pairs, parts = bounded_cell_self_join(
+        up, "u", "pk", CF_USER_CAP, return_parts=True
+    )
     half = (
-        bounded_cell_self_join(up, "u", "pk", CF_USER_CAP)
-        .groupBy(
+        pairs.select(
             F.least(F.col("a_pk"), F.col("b_pk")).alias("pa"),
             F.greatest(F.col("a_pk"), F.col("b_pk")).alias("pb"),
         )
+        # pair keys are near-unique, so the map-side combine barely
+        # reduces and the agg's exchange must carry ~every pair row: size
+        # it like the join (helper docstring — a session-width exchange
+        # here re-created the 8 GB AGGREGATE_OUT_OF_MEMORY one stage
+        # after the join fix)
+        .repartition(parts, "pa", "pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
         .filter(F.col("c") >= CF_MIN_CO)
     )
