@@ -30,6 +30,8 @@ least/greatest — symmetric payloads (cosine, co-counts) don't care.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -162,4 +164,112 @@ def bounded_cell_self_join(
             | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
         ),
     ).drop("ib", "jb", "b_ib", "b_jb")
+    return (out, parts) if return_parts else out
+
+
+def bounded_bipartite_cell_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    cell_cols: Sequence[str],
+    a_id_col: str,
+    b_id_col: str,
+    cap: int,
+    return_parts: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """The BIPARTITE sibling of :func:`bounded_cell_self_join`, for
+    stencil-shaped cell joins (grid DBSCAN's points × 3×3-replicated
+    points, probe × bucketed-corpus ANN): every (a, b) pair whose rows
+    share all ``cell_cols`` values, each exactly once, as ``a_*`` /
+    ``b_*`` columns. No pair-order canonicalization is applied — the
+    sides are distinct roles, so each ordered (a, b) is the output unit
+    and self/symmetry filtering stays with the caller.
+
+    Hot-cell scheme (richer than the self-join's triangular blocks, per
+    the r10 handoff note): a cell hot on EITHER side splits A into
+    n_a = ceil(a_sz/cap) and B into n_b = ceil(b_sz/cap) xxhash blocks,
+    and the join enumerates the full n_a × n_b block GRID — each A row
+    replicates n_b times, each B row n_a times (hot cells only), and a
+    pair meets exactly once at (block(a), block(b)). Worst task work is
+    ~cap² instead of a_sz × b_sz. Dispatch stays adaptive on one
+    support-scale probe (max a_sz, max b_sz, Σ a_sz·b_sz — one
+    ``.first()``), which also cost-sizes the exchange the way the
+    self-join does; cold corpora pay nothing."""
+    spark = a_df.sparkSession
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base = 32
+    keys = list(cell_cols)
+    ca = a_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("a_sz"))
+    cb = b_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("b_sz"))
+    occ = ca.join(cb, keys)
+    stats = occ.agg(
+        F.max("a_sz"),
+        F.max("b_sz"),
+        F.sum(F.col("a_sz").cast("double") * F.col("b_sz")),
+    ).first()
+    max_a, max_b = stats[0] or 0, stats[1] or 0
+    parts = _pair_partitions(int(stats[2] or 0), base)
+    a_keys = [f"a_{k}" for k in keys]
+    cell_eq = [F.col(f"a_{k}") == F.col(f"b_{k}") for k in keys]
+
+    def side(prefix: str, src: DataFrame, frame: DataFrame, keycols) -> DataFrame:
+        cols = [F.col(c).alias(f"{prefix}_{c}") for c in src.columns]
+        return frame.select(*cols, *keycols)
+
+    if max_a <= cap and max_b <= cap:
+        a = side("a", a_df, a_df, []).repartition(parts, *a_keys)
+        b = side("b", b_df, b_df, []).repartition(
+            parts, *[f"b_{k}" for k in keys]
+        )
+        cond = cell_eq[0]
+        for c in cell_eq[1:]:
+            cond = cond & c
+        out = a.join(b, cond)
+        return (out, parts) if return_parts else out
+
+    # Split factors ride a LEFT join against the HOT cells only (same
+    # no-broadcast-hint rationale as the self-join path: the full cell
+    # frame scales with the corpus; AQE picks the strategy).
+    hot = occ.filter((F.col("a_sz") > cap) | (F.col("b_sz") > cap)).select(
+        *keys,
+        F.ceil(F.col("a_sz") / F.lit(cap)).cast("int").alias("n_a"),
+        F.ceil(F.col("b_sz") / F.lit(cap)).cast("int").alias("n_b"),
+    )
+
+    def blocked(df: DataFrame, id_col: str, n_col: str) -> DataFrame:
+        return (
+            df.join(hot, keys, "left")
+            .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(1)))
+            .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(1)))
+            .withColumn(
+                "blk",
+                F.pmod(F.xxhash64(F.col(id_col)), F.col(n_col)).cast("int"),
+            )
+        )
+
+    ea = blocked(a_df, a_id_col, "n_a")
+    eb = blocked(b_df, b_id_col, "n_b")
+    a = side(
+        "a",
+        a_df,
+        ea,
+        [
+            F.col("blk").alias("ia"),
+            F.explode(F.sequence(F.lit(0), F.col("n_b") - 1)).alias("jb"),
+        ],
+    ).repartition(parts, *a_keys, "ia", "jb")
+    b = side(
+        "b",
+        b_df,
+        eb,
+        [
+            F.explode(F.sequence(F.lit(0), F.col("n_a") - 1)).alias("b_ia"),
+            F.col("blk").alias("b_jb"),
+        ],
+    ).repartition(parts, *[f"b_{k}" for k in keys], "b_ia", "b_jb")
+    cond = (F.col("ia") == F.col("b_ia")) & (F.col("jb") == F.col("b_jb"))
+    for c in cell_eq:
+        cond = cond & c
+    out = a.join(b, cond).drop("ia", "jb", "b_ia", "b_jb")
     return (out, parts) if return_parts else out

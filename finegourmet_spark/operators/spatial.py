@@ -280,6 +280,17 @@ DBSCAN_MINPTS = 4  # neighborhood size INCLUDING the point itself
 # sampled k-distance curve per dataset; a fixed (eps, window) pair is the
 # testable equivalent.
 DBSCAN_KEY_CAP = 2000
+# Hot-cell guard for the stencil neighbor join (r10 handoff item): THIS
+# fixture's md5-uniform points never skew a grid cell, but real geo data
+# is city-skewed — one downtown cell with c points puts ~9c² candidate
+# rows through a single task. The 3×3 join therefore rides
+# cellpairs.bounded_bipartite_cell_join, whose adaptive probe keeps the
+# plain join until some cell exceeds this cap and then grid-blocks the
+# hot cells so worst-task work is ~cap² (exact — blocks partition the
+# pair space, nothing is sampled). Same sizing rationale as
+# similarity.EMB_CELL_CAP: a 100 TB worst-cell replication bound, not a
+# local-throughput tune.
+DBSCAN_CELL_CAP = 4096
 
 # Shared CTE text: points, eps-neighbor pairs via the 3x3 grid join, core
 # set, and core-core edges — used at the oracle top level (for the
@@ -354,6 +365,10 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation every cluster-resolution op here uses — at 100 TB this is
     exactly how you'd DBSCAN a planet of points: grid-partition, local
     neighbor counts, distributed CC on the (much smaller) core graph.
+    The stencil join itself rides the shared hot-cell guard
+    (cellpairs.bounded_bipartite_cell_join, see {DBSCAN_CELL_CAP}'s
+    comment): city-skewed densities grid-block the hot cells so no task
+    sees more than ~cap² candidates, with the pair set unchanged.
 
     Oracle: identical grid join + the unrolled min-label rounds."""
     pts = (
@@ -365,29 +380,38 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _coord_col("gy", F.col("c_custkey")).alias("y"),
         )
     )
+    from finegourmet_spark.operators.cellpairs import (
+        bounded_bipartite_cell_join,
+    )
+
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
-    pe = (
+    pa = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x div {CELL}").alias("gcx"),
+        F.expr(f"y div {CELL}").alias("gcy"),
+    )
+    pb = (
         pts.withColumn("i", off)
         .withColumn("j", off)
         .select(
-            F.col("id").alias("idb"),
-            F.col("x").alias("xb"),
-            F.col("y").alias("yb"),
-            (F.expr(f"x div {CELL}") + F.col("i")).alias("bx"),
-            (F.expr(f"y div {CELL}") + F.col("j")).alias("by"),
+            "id",
+            "x",
+            "y",
+            (F.expr(f"x div {CELL}") + F.col("i")).alias("gcx"),
+            (F.expr(f"y div {CELL}") + F.col("j")).alias("gcy"),
         )
     )
-    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
-        F.col("y") - F.col("yb")
-    ) * (F.col("y") - F.col("yb"))
+    d2 = (F.col("a_x") - F.col("b_x")) * (F.col("a_x") - F.col("b_x")) + (
+        F.col("a_y") - F.col("b_y")
+    ) * (F.col("a_y") - F.col("b_y"))
     nbr = (
-        pts.join(
-            pe,
-            (F.expr(f"x div {CELL}") == F.col("bx"))
-            & (F.expr(f"y div {CELL}") == F.col("by")),
+        bounded_bipartite_cell_join(
+            pa, pb, ("gcx", "gcy"), "id", "id", DBSCAN_CELL_CAP
         )
-        .filter((F.col("id") != F.col("idb")) & (d2 <= DBSCAN_EPS2))
-        .select(F.col("id").alias("ida"), "idb")
+        .filter((F.col("a_id") != F.col("b_id")) & (d2 <= DBSCAN_EPS2))
+        .select(F.col("a_id").alias("ida"), F.col("b_id").alias("idb"))
         .localCheckpoint(eager=True)  # consumed by core, pairs, and border
     )
     core = (

@@ -124,6 +124,61 @@ def test_bounded_cell_self_join_exact_pair_multiset(spark):
         assert got == want, f"cap={cap}: {len(got)} vs {len(want)} pairs"
 
 
+def test_bounded_bipartite_cell_join_exact_pair_set(spark):
+    """The bipartite helper must yield every cross-side pair sharing the
+    (multi-column) cell key exactly once on BOTH paths — compared against
+    the itertools product, with asymmetric skew (one cell hot on the A
+    side only, one on the B side only, one on both, one cold)."""
+    from finegourmet_spark.operators.cellpairs import (
+        bounded_bipartite_cell_join,
+    )
+
+    a_rows, b_rows = [], []
+    # (cx, cy) -> (n_a, n_b): hot-A, hot-B, hot-both, cold, A-only cell
+    shape = {(0, 0): (40, 3), (1, 0): (3, 40), (1, 1): (25, 25),
+             (2, 2): (4, 4), (3, 3): (5, 0)}
+    for (cx, cy), (na, nb) in shape.items():
+        a_rows += [(100 * cx + i, cx, cy) for i in range(na)]
+        b_rows += [(1000 + 100 * cy + i, cx, cy) for i in range(nb)]
+    a = spark.createDataFrame(a_rows, "aid INT, cx INT, cy INT")
+    b = spark.createDataFrame(b_rows, "bid INT, cx INT, cy INT")
+    want = sorted(
+        (100 * cx + i, 1000 + 100 * cy + j)
+        for (cx, cy), (na, nb) in shape.items()
+        for i in range(na)
+        for j in range(nb)
+    )
+    for cap in (8, 1000):  # blocked path, then plain path
+        got = sorted(
+            (r["a_aid"], r["b_bid"])
+            for r in bounded_bipartite_cell_join(
+                a, b, ("cx", "cy"), "aid", "bid", cap
+            ).collect()
+        )
+        assert got == want, f"cap={cap}: {len(got)} vs {len(want)} pairs"
+
+
+def test_dbscan_hot_cell_invariant(spark, sf_dir, monkeypatch):
+    """q_geo_dbscan through the stencil guard: forcing every grid cell to
+    grid-block (cap=4) must reproduce the default-cap roles and clusters
+    exactly — the neighbor pair set is a pure function of the geometry,
+    not of the blocking."""
+    import finegourmet_spark.operators.spatial as sp
+
+    key = lambda r: r["c_custkey"]  # noqa: E731
+    base = {key(r): (r["role"], r["cluster"])
+            for r in sp.q_geo_dbscan(spark, sf_dir).collect()}
+    monkeypatch.setattr(sp, "DBSCAN_CELL_CAP", 4)
+    forced = {key(r): (r["role"], r["cluster"])
+              for r in sp.q_geo_dbscan(spark, sf_dir).collect()}
+    assert base == forced
+    # sf0.001 is subcritical for (eps, minpts) — everything is noise there
+    # (mean eps-degree ~1.8 only at sf0.01), so non-triviality is the
+    # point count, not the presence of cores; the helper's pair-set
+    # exactness under skew is pinned by the property test above.
+    assert len(base) > 100
+
+
 def test_item_item_cf_hot_basket_invariant(spark, sf_dir, monkeypatch):
     """q_item_item_cf through the basket cap: forcing every basket to
     sub-split (cap=2) must reproduce the default-cap result exactly —
