@@ -37,8 +37,8 @@ def main() -> int:
     t0 = time.time()
     rows = q(spark, SF10).collect()
     dt = time.time() - t0
-    print(f"q_graph_jaccard_neighbors sf10: {len(rows)} rows in {dt:.1f}s "
-          f"(scratch budget {SCRATCH_GB} GB)")
+    print(f"q_graph_jaccard_neighbors @ {SF10}: {len(rows)} rows in "
+          f"{dt:.1f}s (scratch budget {SCRATCH_GB} GB)")
     for r in rows:
         print(dict(r.asDict()))
     spark.stop()
