@@ -39,9 +39,19 @@ def main() -> int:
     q = contract.queries()
     o = contract.oracle_sql()
     names = sorted(q)
-    start_at = sys.argv[1] if len(sys.argv) > 1 else None
-    if start_at:
-        names = [n for n in names if n >= start_at]
+    if len(sys.argv) > 2 and sys.argv[1] == "--names-file":
+        # one query name per line (the sf10_sweep form) — for sweeping a
+        # registry-order slice rather than an alphabetical suffix
+        wanted = [ln.strip() for ln in open(sys.argv[2]) if ln.strip()]
+        unknown = sorted(set(wanted) - set(names))
+        if unknown:
+            print(f"unknown query names in {sys.argv[2]}: {unknown}")
+            return 2
+        names = [n for n in names if n in set(wanted)]
+    else:
+        start_at = sys.argv[1] if len(sys.argv) > 1 else None
+        if start_at:
+            names = [n for n in names if n >= start_at]
     t_start = time.time()
     fails = []
     spark = None
