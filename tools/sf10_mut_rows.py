@@ -44,10 +44,21 @@ DEFAULT = [
 
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
-    spark = get_spark()
     q = contract.queries()
     failed = []
+    spark = None
     for name in names:
+        # Fresh session per op (the sf1/sf10-sweep lesson, applied here
+        # after it bit for real): persisted/localCheckpoint blocks from
+        # the earlier ops accumulate in the shared block manager, and on
+        # a tight 8 GB heap the NEXT op's broadcast build can fail with
+        # "Not enough memory to build and broadcast" even though the op
+        # passes standalone (observed for q_setsim_join_prefix on the
+        # r10 reprovisioned host). A fresh session also makes each row a
+        # clean measurement.
+        if spark is not None:
+            spark.stop()
+        spark = get_spark()
         t0 = time.time()
         try:
             n = q[name](spark, SF10_MUT).count()
