@@ -35,52 +35,23 @@ import finegourmet_spark.streaming.cdc  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
 # Registration order is the driver's sampling order: the driver checks the
-# FIRST 50 registered queries only (observed r1-r9). Round-10 rotation
-# (VERDICT r9 items 1+4): slot 0 is q_gini_revenue — r9's single red row
-# (top-level DECIMAL(38,0) canonicalization in the driver env; the output
-# contract is now BIGINT floor-ppm) — followed by the five ops whose code
-# changed this round, then the whole r3-evidence backlog and a 21-query
-# slice of the r5 wave. After this round the oldest driver evidence in
-# the registry is r5. The by-design rows-only queries (ANN/sketch
-# internals) stay below the boundary per VERDICT r2 item 3 — they can
-# never hash-match and would burn slots. All 50 are oracle-backed and
-# green in the repo's own full-registry driver-sim (see .claude/skills/
-# verify). Below the boundary: rows-only first, then everything else,
-# oldest evidence first (so the next rotation reads off the top).
+# FIRST 50 registered queries only (observed r1-r10). Round-11 rotation
+# (VERDICT r10 item 1, standing oldest-evidence-first protocol): there are
+# no red rows to lead with (CORRECTNESS_r10 was 50/50 green), so the window
+# is purely the evidence-age backlog — slots 0-26 the 27 oracle-backed
+# queries whose latest driver evidence is r5 (alphabetical), slots 27-49
+# the first 23 of the 49 r6-evidence queries (alphabetical). After this
+# round the max oracle-backed evidence age is r6 (26 rows left for the r12
+# window). The 8 by-design rows-only queries (ANN/sketch internals) stay
+# immediately below the boundary per VERDICT r2 item 3 — they can never
+# hash-match and would burn slots; their freshness is covered by the new
+# per-round rows-only re-confirm protocol (VERDICT r10 item 4, see
+# COVERAGE.md). Below them: the r6 leftovers, then r8/r9/r10 evidence in
+# age order, so every future rotation reads off the top. The whole window
+# was pre-verified green by the repo driver-sim at sf0.01 before commit.
 _PRIORITY = [
-    # ---- slot 0 + slots 1-5: this round's red row (gini, r9's only hash
-    #      miss — output contract moved to BIGINT floor-ppm) and every op
-    #      whose code changed in r10 (pagerank exchange fix, embedding
-    #      hot-cell cap + its CC twin, CDC widening guard) ----------------
-    "q_gini_revenue", "q_graph_pagerank", "q_dedup_embedding",
-    "q_dedup_semantic_clusters", "q_stream_scd2_cdc", "q_scd2_apply_cdc",
-    # ---- slots 6-28: the r3-evidence backlog, oldest cumulative driver
-    #      rows in the registry (VERDICT r9 item 4) ----------------------
-    "q_dedup_incremental", "q_dedup_ngram_jaccard", "q_doc_fingerprint",
-    "q_domain_mixture", "q_funnel", "q_hypertable_rollup", "q_join_salted",
-    "q_lang_id", "q_lm_bigram_score", "q_multimodal_audio",
-    "q_multimodal_frames", "q_multimodal_meta", "q_pack_sequences",
-    "q_sample_stratified", "q_scd2", "q_seqlen_histogram", "q_similarity_ivf",
-    "q_split_train_eval", "q_string_agg", "q_text_scrub_pii",
-    "q_tfidf_topterms", "q_tokenize_bpe", "q_winnow_fingerprints",
-    # ---- slots 29-49: the r5 wave, alphabetical — after this round max
-    #      evidence age is r5 with 27 r5 rows left for r11 ---------------
-    "q_abc_analysis", "q_allocation_largest_remainder", "q_assoc_rules",
-    "q_attribution", "q_autocorr_lag", "q_benford_profile", "q_bm25_topk",
-    "q_business_days_sla", "q_cohort_ltv", "q_column_profile",
-    "q_concurrency_peak", "q_containment_dedup", "q_crosstab_chi2",
-    "q_cusum_anomaly", "q_data_quality_audit", "q_event_pattern_match",
-    "q_ewma_revenue", "q_funnel_latency", "q_funnel_windowed",
-    "q_fuzzy_join_levenshtein", "q_graph_degree_dist",
-    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
-    #      can never match — ANN/sketch internals; pytest semantic bounds
-    #      stand in; VERDICT r2 item 3 keeps them out of the window) -----
-    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
-    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
-    "q_similarity_lsh", "q_dedup_simhash",
-    # ---- remaining driver-confirmed queries, oldest evidence first (r5
-    #      leftovers, then r6/r8/r9), so the next rotation reads off the
-    #      top ------------------------------------------------------------
+    # ---- slots 0-26: the r5-evidence backlog, oldest oracle-backed
+    #      driver rows in the registry (VERDICT r10 item 1) --------------
     "q_graph_triangles", "q_heavy_hitters", "q_histogram_equidepth",
     "q_inverted_index", "q_knn_classify", "q_knn_confusion", "q_lateral_topk",
     "q_markov_transitions", "q_multimodal_features", "q_ohlc_bars",
@@ -89,36 +60,47 @@ _PRIORITY = [
     "q_sample_weighted", "q_session_paths", "q_setsim_join_prefix",
     "q_similarity_topk_np", "q_skyline_pareto", "q_theil_sen",
     "q_time_weighted_avg", "q_timeseries_interpolate", "q_udtf_installments",
-    "q_user_streaks", "q_vocab_growth", "q_ab_experiment",
-    "q_attribution_linear", "q_bitmap_audience_overlap",
+    "q_user_streaks", "q_vocab_growth",
+    # ---- slots 27-49: first 23 of the r6-evidence wave, alphabetical ---
+    "q_ab_experiment", "q_attribution_linear", "q_bitmap_audience_overlap",
     "q_bitmap_distinct_rollup", "q_bitwise_agg", "q_bom_rollup",
     "q_collation_compare", "q_compaction_plan", "q_dedup_chunks",
     "q_dedup_sorted_neighborhood", "q_gdpr_erasure", "q_golden_record",
     "q_graph_bfs_hops", "q_growth_rates", "q_incremental_agg_maintenance",
     "q_incremental_agg_retraction", "q_interval_coverage", "q_item_item_cf",
     "q_json_quarantine", "q_keyspace_gaps", "q_lambda_funcs",
-    "q_late_arriving_dim", "q_mask_pii", "q_merge_upsert", "q_ols_trend",
-    "q_order_gaps", "q_out_of_order_events", "q_percentile_cont_exact",
-    "q_pipe_syntax", "q_pit_features", "q_rank_wilson", "q_rrf_fusion",
-    "q_scd2_lookup", "q_seasonal_forecast", "q_share_of_parent",
-    "q_simpson_diversity", "q_skew_diagnose", "q_snapshot_diff_cdc",
-    "q_sql_scalar_function", "q_stickiness", "q_table_checksum",
-    "q_token_count_pretokenizer", "q_topn_others", "q_try_arithmetic",
-    "q_url_canonicalize", "q_variant_funcs", "q_vocab_oov_rate",
-    "q_weighted_median", "q_xml_funcs", "q_agg_first_nonnull", "q_agg_rollup",
-    "q_array_funcs", "q_case_when", "q_corpus_curate", "q_date_funcs",
-    "q_decontaminate", "q_dedup_clusters", "q_dedup_rownum", "q_distinct",
-    "q_except", "q_filter_pred", "q_geo_nearest_grid",
-    "q_graph_jaccard_capped", "q_graph_jaccard_neighbors",
-    "q_graph_lpa_users", "q_in_subquery", "q_intersect", "q_join_anti",
-    "q_join_asof", "q_join_cross", "q_join_full", "q_join_left",
-    "q_join_range", "q_join_right", "q_join_semi", "q_join_theta",
-    "q_lang_id_chargram", "q_map_funcs", "q_math_funcs", "q_pivot",
-    "q_recursive_cte", "q_repetition_ratio", "q_scan_project", "q_sessionize",
-    "q_sort_multi", "q_stream_session", "q_stream_sliding",
-    "q_stream_watermark_dedup", "q_string_funcs", "q_surrogate_keys",
-    "q_text_stats", "q_udaf", "q_udf_scalar", "q_union", "q_unpivot",
-    "q_window_analytic", "q_window_distribution", "q_window_rank",
+    "q_late_arriving_dim", "q_mask_pii",
+    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
+    #      can never match — ANN/sketch internals; pytest semantic bounds
+    #      + the per-round re-confirm protocol stand in) -----------------
+    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
+    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
+    "q_similarity_lsh", "q_dedup_simhash",
+    # ---- r6-evidence leftovers (the r12 window head) --------------------
+    "q_merge_upsert", "q_ols_trend", "q_order_gaps", "q_out_of_order_events",
+    "q_percentile_cont_exact", "q_pipe_syntax", "q_pit_features",
+    "q_rank_wilson", "q_rrf_fusion", "q_scd2_lookup", "q_seasonal_forecast",
+    "q_share_of_parent", "q_simpson_diversity", "q_skew_diagnose",
+    "q_snapshot_diff_cdc", "q_sql_scalar_function", "q_stickiness",
+    "q_table_checksum", "q_token_count_pretokenizer", "q_topn_others",
+    "q_try_arithmetic", "q_url_canonicalize", "q_variant_funcs",
+    "q_vocab_oov_rate", "q_weighted_median", "q_xml_funcs",
+    # ---- r8 evidence ----------------------------------------------------
+    "q_agg_first_nonnull", "q_agg_rollup", "q_array_funcs", "q_case_when",
+    "q_corpus_curate", "q_date_funcs", "q_decontaminate", "q_dedup_clusters",
+    "q_dedup_rownum", "q_distinct", "q_except", "q_filter_pred",
+    "q_geo_nearest_grid", "q_graph_jaccard_capped",
+    "q_graph_jaccard_neighbors", "q_graph_lpa_users", "q_in_subquery",
+    "q_intersect", "q_join_anti", "q_join_asof", "q_join_cross",
+    "q_join_full", "q_join_left", "q_join_range", "q_join_right",
+    "q_join_semi", "q_join_theta", "q_lang_id_chargram", "q_map_funcs",
+    "q_math_funcs", "q_pivot", "q_recursive_cte", "q_repetition_ratio",
+    "q_scan_project", "q_sessionize", "q_sort_multi", "q_stream_session",
+    "q_stream_sliding", "q_stream_watermark_dedup", "q_string_funcs",
+    "q_surrogate_keys", "q_text_stats", "q_udaf", "q_udf_scalar", "q_union",
+    "q_unpivot", "q_window_analytic", "q_window_distribution",
+    "q_window_rank",
+    # ---- r9 evidence ----------------------------------------------------
     "q_agg_basic", "q_agg_conditional", "q_agg_cube", "q_agg_grouping_sets",
     "q_agg_mode", "q_agg_percentile_exact", "q_agg_salted", "q_agg_stats",
     "q_bootstrap_poisson", "q_bpe_merge_candidates", "q_chunk_documents",
@@ -133,6 +115,23 @@ _PRIORITY = [
     "q_similarity_topk", "q_star_join", "q_stream_join", "q_stream_tumbling",
     "q_surrogate_keys_scalable", "q_text_quality", "q_timezone_normalize",
     "q_topk", "q_union_missing_cols", "q_window_range_frame", "q_winsorize",
+    # ---- r10 evidence ---------------------------------------------------
+    "q_abc_analysis", "q_allocation_largest_remainder", "q_assoc_rules",
+    "q_attribution", "q_autocorr_lag", "q_benford_profile", "q_bm25_topk",
+    "q_business_days_sla", "q_cohort_ltv", "q_column_profile",
+    "q_concurrency_peak", "q_containment_dedup", "q_crosstab_chi2",
+    "q_cusum_anomaly", "q_data_quality_audit", "q_dedup_embedding",
+    "q_dedup_incremental", "q_dedup_ngram_jaccard",
+    "q_dedup_semantic_clusters", "q_doc_fingerprint", "q_domain_mixture",
+    "q_event_pattern_match", "q_ewma_revenue", "q_funnel", "q_funnel_latency",
+    "q_funnel_windowed", "q_fuzzy_join_levenshtein", "q_gini_revenue",
+    "q_graph_degree_dist", "q_graph_pagerank", "q_hypertable_rollup",
+    "q_join_salted", "q_lang_id", "q_lm_bigram_score", "q_multimodal_audio",
+    "q_multimodal_frames", "q_multimodal_meta", "q_pack_sequences",
+    "q_sample_stratified", "q_scd2", "q_scd2_apply_cdc", "q_seqlen_histogram",
+    "q_similarity_ivf", "q_split_train_eval", "q_stream_scd2_cdc",
+    "q_string_agg", "q_text_scrub_pii", "q_tfidf_topterms", "q_tokenize_bpe",
+    "q_winnow_fingerprints",
 ]
 
 

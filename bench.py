@@ -36,6 +36,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pre-run 1/5/15-min loadavg: makes every BENCH json self-describing
+    # about box quietness, so cross-round comparisons on re-provisioned /
+    # shared hosts can be normalized (VERDICT r10 item 2)
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     from finegourmet_spark.session import get_spark
 
     import __spark_entry__ as contract
@@ -103,6 +107,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "loadavg_prerun": loadavg,
     }
     skipped = sorted(s for s in skip if s in HEADLINE)
     if skipped:

@@ -26,6 +26,10 @@ Column contract: the result carries every input column twice, prefixed
 ``a_`` / ``b_``. Side assignment is arbitrary on the sub-split path, so
 callers needing a canonical pair order must normalize with
 least/greatest — symmetric payloads (cosine, co-counts) don't care.
+All internal working columns use ``__bcsj_*`` / ``__bbcj_*`` names so a
+caller frame that happens to carry e.g. ``blk`` or ``n_a`` can never
+collide with the guard's plumbing (ADVICE r10); the only reserved names
+are those dunder prefixes themselves.
 """
 
 from __future__ import annotations
@@ -119,13 +123,13 @@ def bounded_cell_self_join(
     # and falls back to a co-keyed shuffle join when it is not.
     hot = cells.filter(F.col("c_sz") > cap).select(
         cell_col,
-        F.ceil(F.col("c_sz") / F.lit(cap)).cast("int").alias("n_sub"),
+        F.ceil(F.col("c_sz") / F.lit(cap)).cast("int").alias("__bcsj_n_sub"),
     )
     es = (
         df.join(hot, cell_col, "left")
-        .withColumn("n_sub", F.coalesce(F.col("n_sub"), F.lit(1)))
+        .withColumn("__bcsj_n_sub", F.coalesce(F.col("__bcsj_n_sub"), F.lit(1)))
         .withColumn(
-            "sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("n_sub")).cast("int")
+            "__bcsj_sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("__bcsj_n_sub")).cast("int")
         )
     )
     a = side(
@@ -133,37 +137,37 @@ def bounded_cell_self_join(
         {
             "frame": es,
             "keys": [
-                F.col("sub").alias("ib"),
+                F.col("__bcsj_sub").alias("__bcsj_ib"),
                 F.explode(
-                    F.sequence(F.col("sub"), F.col("n_sub") - 1)
-                ).alias("jb"),
+                    F.sequence(F.col("__bcsj_sub"), F.col("__bcsj_n_sub") - 1)
+                ).alias("__bcsj_jb"),
             ],
         },
-    ).repartition(parts, f"a_{cell_col}", "ib", "jb")
+    ).repartition(parts, f"a_{cell_col}", "__bcsj_ib", "__bcsj_jb")
     b = side(
         "b",
         {
             "frame": es,
             "keys": [
-                F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("ib"),
-                F.col("sub").alias("jb"),
+                F.explode(F.sequence(F.lit(0), F.col("__bcsj_sub"))).alias("__bcsj_ib"),
+                F.col("__bcsj_sub").alias("__bcsj_jb"),
             ],
         },
     )
     out = a.join(
-        b.withColumnRenamed("ib", "b_ib")
-        .withColumnRenamed("jb", "b_jb")
-        .repartition(parts, f"b_{cell_col}", "b_ib", "b_jb"),
+        b.withColumnRenamed("__bcsj_ib", "__bcsj_b_ib")
+        .withColumnRenamed("__bcsj_jb", "__bcsj_b_jb")
+        .repartition(parts, f"b_{cell_col}", "__bcsj_b_ib", "__bcsj_b_jb"),
         (F.col(f"a_{cell_col}") == F.col(f"b_{cell_col}"))
-        & (F.col("ib") == F.col("b_ib"))
-        & (F.col("jb") == F.col("b_jb"))
+        & (F.col("__bcsj_ib") == F.col("__bcsj_b_ib"))
+        & (F.col("__bcsj_jb") == F.col("__bcsj_b_jb"))
         # diagonal blocks see both orderings of a pair — keep one; cross
         # blocks see exactly one ordering — keep it whichever way round
         & (
-            (F.col("ib") != F.col("jb"))
+            (F.col("__bcsj_ib") != F.col("__bcsj_jb"))
             | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
         ),
-    ).drop("ib", "jb", "b_ib", "b_jb")
+    ).drop("__bcsj_ib", "__bcsj_jb", "__bcsj_b_ib", "__bcsj_b_jb")
     return (out, parts) if return_parts else out
 
 
@@ -233,43 +237,43 @@ def bounded_bipartite_cell_join(
     # frame scales with the corpus; AQE picks the strategy).
     hot = occ.filter((F.col("a_sz") > cap) | (F.col("b_sz") > cap)).select(
         *keys,
-        F.ceil(F.col("a_sz") / F.lit(cap)).cast("int").alias("n_a"),
-        F.ceil(F.col("b_sz") / F.lit(cap)).cast("int").alias("n_b"),
+        F.ceil(F.col("a_sz") / F.lit(cap)).cast("int").alias("__bbcj_n_a"),
+        F.ceil(F.col("b_sz") / F.lit(cap)).cast("int").alias("__bbcj_n_b"),
     )
 
     def blocked(df: DataFrame, id_col: str, n_col: str) -> DataFrame:
         return (
             df.join(hot, keys, "left")
-            .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(1)))
-            .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(1)))
+            .withColumn("__bbcj_n_a", F.coalesce(F.col("__bbcj_n_a"), F.lit(1)))
+            .withColumn("__bbcj_n_b", F.coalesce(F.col("__bbcj_n_b"), F.lit(1)))
             .withColumn(
-                "blk",
+                "__bbcj_blk",
                 F.pmod(F.xxhash64(F.col(id_col)), F.col(n_col)).cast("int"),
             )
         )
 
-    ea = blocked(a_df, a_id_col, "n_a")
-    eb = blocked(b_df, b_id_col, "n_b")
+    ea = blocked(a_df, a_id_col, "__bbcj_n_a")
+    eb = blocked(b_df, b_id_col, "__bbcj_n_b")
     a = side(
         "a",
         a_df,
         ea,
         [
-            F.col("blk").alias("ia"),
-            F.explode(F.sequence(F.lit(0), F.col("n_b") - 1)).alias("jb"),
+            F.col("__bbcj_blk").alias("__bbcj_ia"),
+            F.explode(F.sequence(F.lit(0), F.col("__bbcj_n_b") - 1)).alias("__bbcj_jb"),
         ],
-    ).repartition(parts, *a_keys, "ia", "jb")
+    ).repartition(parts, *a_keys, "__bbcj_ia", "__bbcj_jb")
     b = side(
         "b",
         b_df,
         eb,
         [
-            F.explode(F.sequence(F.lit(0), F.col("n_a") - 1)).alias("b_ia"),
-            F.col("blk").alias("b_jb"),
+            F.explode(F.sequence(F.lit(0), F.col("__bbcj_n_a") - 1)).alias("__bbcj_b_ia"),
+            F.col("__bbcj_blk").alias("__bbcj_b_jb"),
         ],
-    ).repartition(parts, *[f"b_{k}" for k in keys], "b_ia", "b_jb")
-    cond = (F.col("ia") == F.col("b_ia")) & (F.col("jb") == F.col("b_jb"))
+    ).repartition(parts, *[f"b_{k}" for k in keys], "__bbcj_b_ia", "__bbcj_b_jb")
+    cond = (F.col("__bbcj_ia") == F.col("__bbcj_b_ia")) & (F.col("__bbcj_jb") == F.col("__bbcj_b_jb"))
     for c in cell_eq:
         cond = cond & c
-    out = a.join(b, cond).drop("ia", "jb", "b_ia", "b_jb")
+    out = a.join(b, cond).drop("__bbcj_ia", "__bbcj_jb", "__bbcj_b_ia", "__bbcj_b_jb")
     return (out, parts) if return_parts else out

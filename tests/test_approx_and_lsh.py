@@ -139,3 +139,18 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         for r in QUERIES["q_agg_salted"](spark, sf_dir).collect()
     }
     assert plain == salted
+
+
+def test_footer_row_count_matches_scan(spark, sf_dir):
+    """The LSH width probe now sizes from parquet footer stats
+    (table_row_count) with count() as fallback — the two paths must agree
+    exactly on every fixture table, so the probe's bucket width is
+    identical whichever path runs (VERDICT r10 item 5)."""
+    from finegourmet_spark.sources.testdata import TABLES, load_table, table_row_count
+
+    for name in TABLES:
+        footer = table_row_count(sf_dir, name)
+        assert footer is not None, name
+        assert footer == load_table(spark, sf_dir, name).count(), name
+    # missing table ⇒ None (fall back), never 0
+    assert table_row_count(sf_dir, "no_such_table") is None

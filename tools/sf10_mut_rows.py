@@ -47,31 +47,35 @@ def main() -> int:
     q = contract.queries()
     failed = []
     spark = None
-    for name in names:
-        # Fresh session per op (the sf1/sf10-sweep lesson, applied here
-        # after it bit for real): persisted/localCheckpoint blocks from
-        # the earlier ops accumulate in the shared block manager, and on
-        # a tight 8 GB heap the NEXT op's broadcast build can fail with
-        # "Not enough memory to build and broadcast" even though the op
-        # passes standalone (observed for q_setsim_join_prefix on the
-        # r10 reprovisioned host). A fresh session also makes each row a
-        # clean measurement.
+    try:
+        for name in names:
+            # Fresh session per op (the sf1/sf10-sweep lesson, applied here
+            # after it bit for real): persisted/localCheckpoint blocks from
+            # the earlier ops accumulate in the shared block manager, and on
+            # a tight 8 GB heap the NEXT op's broadcast build can fail with
+            # "Not enough memory to build and broadcast" even though the op
+            # passes standalone (observed for q_setsim_join_prefix on the
+            # r10 reprovisioned host). A fresh session also makes each row a
+            # clean measurement.
+            if spark is not None:
+                spark.stop()
+            spark = get_spark()
+            t0 = time.time()
+            try:
+                n = q[name](spark, SF10_MUT).count()
+                dt = time.time() - t0
+                scratch = _shuffle_scratch_bytes(spark)
+                gb = f"{scratch / 2**30:.1f}" if scratch is not None else "?"
+                print(f"{name}: {n} rows in {dt:.1f}s (scratch now {gb} GB)",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001 — report, not die
+                dt = time.time() - t0
+                print(f"{name}: FAILED after {dt:.1f}s: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+                failed.append(name)
+    finally:
         if spark is not None:
-            spark.stop()
-        spark = get_spark()
-        t0 = time.time()
-        try:
-            n = q[name](spark, SF10_MUT).count()
-            dt = time.time() - t0
-            scratch = _shuffle_scratch_bytes(spark)
-            gb = f"{scratch / 2**30:.1f}" if scratch is not None else "?"
-            print(f"{name}: {n} rows in {dt:.1f}s (scratch now {gb} GB)",
-                  flush=True)
-        except Exception as e:  # noqa: BLE001 — sweep must report, not die
-            dt = time.time() - t0
-            print(f"{name}: FAILED after {dt:.1f}s: {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
-            failed.append(name)
+            spark.stop()  # explicit teardown for the final row (ADVICE r10)
     return 1 if failed else 0
 
 

@@ -40,14 +40,14 @@ def main() -> int:
     o = contract.oracle_sql()
     names = sorted(q)
     if len(sys.argv) > 2 and sys.argv[1] == "--names-file":
-        # one query name per line (the sf10_sweep form) — for sweeping a
-        # registry-order slice rather than an alphabetical suffix
+        # one query name per line (the sf10_sweep form) — swept in the
+        # file's own order, e.g. registry order (ADVICE r10)
         wanted = [ln.strip() for ln in open(sys.argv[2]) if ln.strip()]
         unknown = sorted(set(wanted) - set(names))
         if unknown:
             print(f"unknown query names in {sys.argv[2]}: {unknown}")
             return 2
-        names = [n for n in names if n in set(wanted)]
+        names = list(wanted)
     else:
         start_at = sys.argv[1] if len(sys.argv) > 1 else None
         if start_at:
