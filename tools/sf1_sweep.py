@@ -14,6 +14,14 @@ from tests.oracle_harness import compare
 
 SF1 = "/root/repo/.scratch/sf1"
 
+# Oracle-compare feasible but DOMINATED by the DuckDB side at sf1 — the
+# sweep wall time for these rows is mostly oracle cost, not Spark cost
+# (measured r11 for q_graph_jaccard_capped: Spark 99.6 s vs compare()
+# 1160.9 s — the wedge-bound oracle enumerates what the Spark plan
+# slices; VERDICT r10 item 6). Annotated in the log line so the row is
+# never read as a Spark regression.
+ORACLE_DOMINATED = {"q_graph_jaccard_capped"}
+
 # DuckDB-infeasible at sf1 (pair/wedge-bound oracles; documented r3+r4):
 SPARK_SIDE_ONLY = {
     "q_graph_jaccard_neighbors", "q_setsim_join_prefix",
@@ -66,6 +74,8 @@ def main() -> int:
             if name in o and name not in SPARK_SIDE_ONLY:
                 problems = compare(df, o[name], SF1)
                 status = "OK" if not problems else f"FAIL {problems[0][:200]}"
+                if name in ORACLE_DOMINATED and not problems:
+                    status += " (oracle-compare-dominated wall time)"
             else:
                 n = df.count()
                 status = f"rows-only {n}"
