@@ -158,9 +158,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-free) signature shuffle. Recall vs the ungated corpus-wide exact
     formulation is asserted in tests/test_llm_ops.py."""
     docs = t(spark, sf_dir, "documents")
-    d = spread(docs).select("doc_id", shingles(normalized_text()).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # The exact-verify join ships each candidate doc's shingle SET twice
+    # across the cluster. Carry xxhash64(shingle) longs (8 B) instead of
+    # the raw n-gram text (~40 B): ~5× less verify-join shuffle — the
+    # term that high-watered 28.4 GB at sf100-mut (5M docs) and, stacked
+    # under the CC pins, hit q_dedup_clusters' host disk bound (r11).
+    # Exactness is unchanged up to 64-bit collisions INSIDE one candidate
+    # pair's shingle sets (P ≈ |A|·|B|/2⁶⁴ ≈ 1e-15 per pair — far below
+    # the driver's hash tolerance; the DuckDB oracle keeps true strings).
+    d = spread(docs).select(
+        "doc_id",
+        F.transform(shingles(normalized_text()), lambda s: F.xxhash64(s)).alias("sh"),
+    ).filter(F.size("sh") > 0)
     banded = minhash_banded(docs, n_hashes=128, n_bands=64)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -298,6 +307,24 @@ def min_label_components(
         pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
     )
     edges = edges.localCheckpoint(eager=True)  # evaluate the pair gate once
+
+    # The pair gate behind ``pairs`` can be shuffle-heavy (the sf100-mut
+    # ngram gate writes ~28 GB); after the pin its shuffle files are dead
+    # but sit on disk until a JVM GC hands them to the ContextCleaner —
+    # stacked under the CC rounds' own blocks that high-water filled this
+    # host's 59 GB scratch (measured r11: q_dedup_clusters died
+    # "No space left on device" at sf100-mut). Reuse the graph ops'
+    # release-and-poll, gated on actual scratch so test-scale calls pay
+    # nothing. At 100 TB per-executor scratch gets the same bound.
+    from finegourmet_spark.operators.graph import (
+        _release_pass_shuffles,
+        _shuffle_scratch_bytes,
+    )
+
+    spark = pairs.sparkSession
+    scratch = _shuffle_scratch_bytes(spark)
+    if scratch is not None and scratch > 8 * 2**30:
+        _release_pass_shuffles(spark)
 
     labels = nodes.select(id_col, F.col(id_col).alias("cluster_id")).localCheckpoint(
         eager=True
@@ -486,10 +513,20 @@ def minhash_banded(docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_B
     # not fire across the band/bucket join's two sides here (verified on
     # the executed AQE plan: 2 full scans, 0 ReusedExchange) — without a
     # materialization barrier the whole shingle-explode + n_hashes
-    # signature pass runs twice. The banded triples are tiny (docs ×
-    # n_bands longs — the text never reaches them), so an eager
-    # localCheckpoint halves the expensive linear pass at every scale.
-    return banded.localCheckpoint(eager=True)
+    # signature pass runs twice. The barrier is a DISK_ONLY pin + eager
+    # count, NOT localCheckpoint: localCheckpoint stores MEMORY_AND_DISK
+    # deserialized blocks, and reading those back promotes them into the
+    # heap (BlockManager.maybeCacheDiskValuesInMemory) — at sf100-mut the
+    # 128-hash/64-band ngram-gate config makes this frame 320M rows
+    # (5M docs × 64 bands), whose deserialized promotion OOMed a 24 GB
+    # heap (measured r11 — the same MEMORY_AND_DISK failure class as
+    # r10's item-item CF fix). DISK_ONLY blocks never enter the heap
+    # cache; the triples stay docs × n_bands longs on disk, text-free.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.DISK_ONLY)
+    banded.count()  # materialize the pin eagerly (one linear pass)
+    return banded
 
 
 @query("q_dedup_minhash")  # rows-only: hash seeds are engine-specific

@@ -20,6 +20,7 @@ Usage: python tools/sf10_mut_rows.py [name ...]   (default: the full set)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -27,7 +28,9 @@ import __spark_entry__ as contract
 from finegourmet_spark.operators.graph import _shuffle_scratch_bytes
 from finegourmet_spark.session import get_spark
 
-SF10_MUT = "/root/repo/.scratch/sf10-mut"
+# SPARK_GRAFT_MUT_DIR points the same protocol at another decade's
+# mutated fixture (r11: .scratch/sf100-mut at factor 1000)
+SF10_MUT = os.environ.get("SPARK_GRAFT_MUT_DIR", "/root/repo/.scratch/sf10-mut")
 
 DEFAULT = [
     "q_dedup_minhash",
