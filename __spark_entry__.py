@@ -35,48 +35,28 @@ import finegourmet_spark.streaming.cdc  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
 # Registration order is the driver's sampling order: the driver checks the
-# FIRST 50 registered queries only (observed r1-r10). Round-11 rotation
-# (VERDICT r10 item 1, standing oldest-evidence-first protocol): there are
-# no red rows to lead with (CORRECTNESS_r10 was 50/50 green), so the window
-# is purely the evidence-age backlog — slots 0-26 the 27 oracle-backed
-# queries whose latest driver evidence is r5 (alphabetical), slots 27-49
-# the first 23 of the 49 r6-evidence queries (alphabetical). After this
-# round the max oracle-backed evidence age is r6 (26 rows left for the r12
-# window). The 8 by-design rows-only queries (ANN/sketch internals) stay
+# FIRST 50 registered queries only (observed r1-r11). Round-12 rotation
+# (VERDICT r11 item 1, standing oldest-evidence-first protocol, plus the
+# r10 changed-code-first rule): slots 0-2 are the three ops whose CODE
+# changed this round and whose prior evidence is therefore stale —
+# q_setsim_join_prefix / q_containment_dedup (shingles hashed to xxhash64
+# longs at tokenize time, VERDICT r11 item 2) and q_item_item_cf
+# (min-support pre-prune + packed pair key, VERDICT r11 item 3). Slots
+# 3-28 are the 26 r6-evidence leftovers (alphabetical), slots 29-49 the
+# first 21 of the 49 r8-evidence rows (alphabetical). After this round the
+# max oracle-backed evidence age is r8 (28 rows left for the r13 window).
+# The 8 by-design rows-only queries (ANN/sketch internals) stay
 # immediately below the boundary per VERDICT r2 item 3 — they can never
-# hash-match and would burn slots; their freshness is covered by the new
+# hash-match and would burn slots; their freshness is covered by the
 # per-round rows-only re-confirm protocol (VERDICT r10 item 4, see
-# COVERAGE.md). Below them: the r6 leftovers, then r8/r9/r10 evidence in
+# COVERAGE.md). Below them: the r8 leftovers, then r9/r10/r11 evidence in
 # age order, so every future rotation reads off the top. The whole window
 # was pre-verified green by the repo driver-sim at sf0.01 before commit.
 _PRIORITY = [
-    # ---- slots 0-26: the r5-evidence backlog, oldest oracle-backed
-    #      driver rows in the registry (VERDICT r10 item 1) --------------
-    "q_graph_triangles", "q_heavy_hitters", "q_histogram_equidepth",
-    "q_inverted_index", "q_knn_classify", "q_knn_confusion", "q_lateral_topk",
-    "q_markov_transitions", "q_multimodal_features", "q_ohlc_bars",
-    "q_outlier_mad", "q_outlier_zscore", "q_retention_cohorts",
-    "q_rfm_segmentation", "q_rolling_active_users", "q_rolling_median",
-    "q_sample_weighted", "q_session_paths", "q_setsim_join_prefix",
-    "q_similarity_topk_np", "q_skyline_pareto", "q_theil_sen",
-    "q_time_weighted_avg", "q_timeseries_interpolate", "q_udtf_installments",
-    "q_user_streaks", "q_vocab_growth",
-    # ---- slots 27-49: first 23 of the r6-evidence wave, alphabetical ---
-    "q_ab_experiment", "q_attribution_linear", "q_bitmap_audience_overlap",
-    "q_bitmap_distinct_rollup", "q_bitwise_agg", "q_bom_rollup",
-    "q_collation_compare", "q_compaction_plan", "q_dedup_chunks",
-    "q_dedup_sorted_neighborhood", "q_gdpr_erasure", "q_golden_record",
-    "q_graph_bfs_hops", "q_growth_rates", "q_incremental_agg_maintenance",
-    "q_incremental_agg_retraction", "q_interval_coverage", "q_item_item_cf",
-    "q_json_quarantine", "q_keyspace_gaps", "q_lambda_funcs",
-    "q_late_arriving_dim", "q_mask_pii",
-    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
-    #      can never match — ANN/sketch internals; pytest semantic bounds
-    #      + the per-round re-confirm protocol stand in) -----------------
-    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
-    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
-    "q_similarity_lsh", "q_dedup_simhash",
-    # ---- r6-evidence leftovers (the r12 window head) --------------------
+    # ---- slots 0-2: r12 changed-code ops (evidence invalidated) ---------
+    "q_setsim_join_prefix", "q_containment_dedup", "q_item_item_cf",
+    # ---- slots 3-28: the 26 r6-evidence leftovers (oldest oracle-backed
+    #      driver rows in the registry, VERDICT r11 item 1) ---------------
     "q_merge_upsert", "q_ols_trend", "q_order_gaps", "q_out_of_order_events",
     "q_percentile_cont_exact", "q_pipe_syntax", "q_pit_features",
     "q_rank_wilson", "q_rrf_fusion", "q_scd2_lookup", "q_seasonal_forecast",
@@ -85,13 +65,20 @@ _PRIORITY = [
     "q_table_checksum", "q_token_count_pretokenizer", "q_topn_others",
     "q_try_arithmetic", "q_url_canonicalize", "q_variant_funcs",
     "q_vocab_oov_rate", "q_weighted_median", "q_xml_funcs",
-    # ---- r8 evidence ----------------------------------------------------
+    # ---- slots 29-49: first 21 of the r8-evidence wave, alphabetical ----
     "q_agg_first_nonnull", "q_agg_rollup", "q_array_funcs", "q_case_when",
     "q_corpus_curate", "q_date_funcs", "q_decontaminate", "q_dedup_clusters",
     "q_dedup_rownum", "q_distinct", "q_except", "q_filter_pred",
     "q_geo_nearest_grid", "q_graph_jaccard_capped",
     "q_graph_jaccard_neighbors", "q_graph_lpa_users", "q_in_subquery",
     "q_intersect", "q_join_anti", "q_join_asof", "q_join_cross",
+    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
+    #      can never match — ANN/sketch internals; pytest semantic bounds
+    #      + the per-round re-confirm protocol stand in) -----------------
+    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
+    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
+    "q_similarity_lsh", "q_dedup_simhash",
+    # ---- r8-evidence leftovers (the r13 window head) --------------------
     "q_join_full", "q_join_left", "q_join_range", "q_join_right",
     "q_join_semi", "q_join_theta", "q_lang_id_chargram", "q_map_funcs",
     "q_math_funcs", "q_pivot", "q_recursive_cte", "q_repetition_ratio",
@@ -119,7 +106,7 @@ _PRIORITY = [
     "q_abc_analysis", "q_allocation_largest_remainder", "q_assoc_rules",
     "q_attribution", "q_autocorr_lag", "q_benford_profile", "q_bm25_topk",
     "q_business_days_sla", "q_cohort_ltv", "q_column_profile",
-    "q_concurrency_peak", "q_containment_dedup", "q_crosstab_chi2",
+    "q_concurrency_peak", "q_crosstab_chi2",
     "q_cusum_anomaly", "q_data_quality_audit", "q_dedup_embedding",
     "q_dedup_incremental", "q_dedup_ngram_jaccard",
     "q_dedup_semantic_clusters", "q_doc_fingerprint", "q_domain_mixture",
@@ -132,6 +119,25 @@ _PRIORITY = [
     "q_similarity_ivf", "q_split_train_eval", "q_stream_scd2_cdc",
     "q_string_agg", "q_text_scrub_pii", "q_tfidf_topterms", "q_tokenize_bpe",
     "q_winnow_fingerprints",
+    # ---- r11 evidence (the r11 driver window, minus the two moved to the
+    #      r12 changed-code head) -----------------------------------------
+    "q_graph_triangles", "q_heavy_hitters", "q_histogram_equidepth",
+    "q_inverted_index", "q_knn_classify", "q_knn_confusion", "q_lateral_topk",
+    "q_markov_transitions", "q_multimodal_features", "q_ohlc_bars",
+    "q_outlier_mad", "q_outlier_zscore", "q_retention_cohorts",
+    "q_rfm_segmentation", "q_rolling_active_users", "q_rolling_median",
+    "q_sample_weighted", "q_session_paths",
+    "q_similarity_topk_np", "q_skyline_pareto", "q_theil_sen",
+    "q_time_weighted_avg", "q_timeseries_interpolate", "q_udtf_installments",
+    "q_user_streaks", "q_vocab_growth",
+    "q_ab_experiment", "q_attribution_linear", "q_bitmap_audience_overlap",
+    "q_bitmap_distinct_rollup", "q_bitwise_agg", "q_bom_rollup",
+    "q_collation_compare", "q_compaction_plan", "q_dedup_chunks",
+    "q_dedup_sorted_neighborhood", "q_gdpr_erasure", "q_golden_record",
+    "q_graph_bfs_hops", "q_growth_rates", "q_incremental_agg_maintenance",
+    "q_incremental_agg_retraction", "q_interval_coverage",
+    "q_json_quarantine", "q_keyspace_gaps", "q_lambda_funcs",
+    "q_late_arriving_dim", "q_mask_pii",
 ]
 
 

@@ -17,6 +17,40 @@ import os
 import sys
 import time
 
+def _host_canary() -> tuple[float, float]:
+    """Fixed ~2 s machine-state microbench (VERDICT r11 item 4): a
+    single-thread integer loop (CPU/interpreter speed) and a 1 GiB numpy
+    memcpy sweep (memory bandwidth), both constant work by construction.
+    Two rounds each paid a worktree-bisect session to adjudicate
+    wedge-class wall-time drift (282.7→1330 s) as host state; recording
+    these next to loadavg_prerun makes that a one-number read against the
+    BASELINE.md host reference values. Loadavg misses the relevant state:
+    the r11 drift happened at loadavg < 3 (cgroup/CPU-steal/thermal class
+    effects), which a fixed workload's wall time exposes directly."""
+    t0 = time.perf_counter()
+    x = 0x9E3779B97F4A7C15
+    for _ in range(3_000_000):  # xorshift64*, pure-Python single core
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    cpu_s = time.perf_counter() - t0
+    try:
+        import numpy as np
+
+        a = np.zeros(1 << 25, dtype=np.float64)  # 256 MiB
+        b = np.empty_like(a)
+        b[:] = a  # fault both buffers in before timing
+        t0 = time.perf_counter()
+        for _ in range(8):
+            b[:] = a
+            a[:] = b
+        membw_s = time.perf_counter() - t0  # 4 GiB copied each way
+        del a, b
+    except Exception:
+        membw_s = -1.0
+    return round(cpu_s, 3), round(membw_s, 3)
+
+
 HEADLINE = [
     "q_star_join",
     "q_agg_basic",
@@ -40,6 +74,7 @@ def main() -> None:
     # about box quietness, so cross-round comparisons on re-provisioned /
     # shared hosts can be normalized (VERDICT r10 item 2)
     loadavg = [round(x, 2) for x in os.getloadavg()]
+    cpu_canary, membw_canary = _host_canary()
     from finegourmet_spark.session import get_spark
 
     import __spark_entry__ as contract
@@ -108,6 +143,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "loadavg_prerun": loadavg,
+        "cpu_canary_s": cpu_canary,
+        "membw_canary_s": membw_canary,
     }
     skipped = sorted(s for s in skip if s in HEADLINE)
     if skipped:

@@ -314,16 +314,19 @@ def min_label_components(
     # stacked under the CC rounds' own blocks that high-water filled this
     # host's 59 GB scratch (measured r11: q_dedup_clusters died
     # "No space left on device" at sf100-mut). Reuse the graph ops'
-    # release-and-poll, gated on actual scratch so test-scale calls pay
-    # nothing. At 100 TB per-executor scratch gets the same bound.
+    # release-and-poll, gated on the scratch volume's reclaim ratio
+    # (ADVICE r11 — was an absolute 8 GiB tied to this host) so
+    # test-scale calls pay nothing and small-volume hosts still fire.
+    # At 100 TB per-executor scratch gets the same bound.
     from finegourmet_spark.operators.graph import (
         _release_pass_shuffles,
+        _scratch_pressure,
         _shuffle_scratch_bytes,
     )
 
     spark = pairs.sparkSession
     scratch = _shuffle_scratch_bytes(spark)
-    if scratch is not None and scratch > 8 * 2**30:
+    if scratch is not None and _scratch_pressure(spark, scratch):
         _release_pass_shuffles(spark)
 
     labels = nodes.select(id_col, F.col(id_col).alias("cluster_id")).localCheckpoint(
@@ -741,11 +744,27 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r1 scale-killer #3) — prefix filtering is the deterministic
     answer to the skew the LSH gate dodges probabilistically. Exact verify
     touches candidates only (arrays co-shipped by doc-keyed joins); Jaccard
-    is reported as floor-ppm, integer-exact end to end."""
+    is reported as floor-ppm, integer-exact end to end.
+
+    Shingles are hashed to xxhash64 longs AT TOKENIZE TIME (r12, the
+    q_dedup_ngram_jaccard r11 trick applied one level earlier): every
+    downstream exchange — the df-count shuffle, the rarest-first
+    collect_list, the prefix equi-join, and both doc-keyed verify joins —
+    ships 8 B longs instead of ~40 B n-gram text (~5× less shuffle; this
+    was the class that cost q_dedup_ngram_jaccard 1239.6→710.8 s at
+    sf100-mut). Canonical order becomes (df, hash) — still one total order
+    shared by all docs, so prefix completeness is untouched. Exactness is
+    unchanged up to 64-bit collisions inside one doc's shingle set
+    (P ≈ |x|²/2⁶⁴ ≈ 1e-15); the DuckDB oracle keeps true strings."""
     docs = t(spark, sf_dir, "documents")
     tok = (
         spread(docs)
-        .select("doc_id", shingles(normalized_text()).alias("tk"))
+        .select(
+            "doc_id",
+            F.transform(
+                shingles(normalized_text()), lambda s: F.xxhash64(s)
+            ).alias("tk"),
+        )
         .filter(F.size("tk") > 0)
     )
     terms = tok.select("doc_id", F.explode("tk").alias("term"))
@@ -852,11 +871,22 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs |x∩y| ≥ ⌈t|x|⌉; missing x's whole prefix caps it at ⌈t|x|⌉ − 1.
     No size-ratio filter exists for containment (a tiny doc can live inside
     a huge one) — that asymmetry is the point. Exact verify on candidates
-    only; floor-ppm output, integer-exact."""
+    only; floor-ppm output, integer-exact.
+
+    As in q_setsim_join_prefix (r12), shingles are hashed to xxhash64
+    longs at tokenize time, so the build-side full-shingle explode — the
+    big exchange here, every shingle of every doc — and the verify joins
+    all ship 8 B longs, never n-gram text. Collision exposure is the same
+    negligible per-doc bound; the DuckDB oracle keeps true strings."""
     docs = t(spark, sf_dir, "documents")
     tok = (
         spread(docs)
-        .select("doc_id", shingles(normalized_text()).alias("tk"))
+        .select(
+            "doc_id",
+            F.transform(
+                shingles(normalized_text()), lambda s: F.xxhash64(s)
+            ).alias("tk"),
+        )
         .filter(F.size("tk") > 0)
     )
     terms = tok.select("doc_id", F.explode("tk").alias("term"))

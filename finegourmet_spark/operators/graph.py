@@ -26,6 +26,8 @@ connected-components oracle uses (dedup.py min-label rounds).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -531,6 +533,41 @@ def _shuffle_scratch_bytes(spark: SparkSession) -> int | None:
                 except OSError:
                     pass  # cleaner raced us: file deleted mid-walk
     return total
+
+
+def _scratch_pressure(spark: SparkSession, scratch_bytes: int) -> bool:
+    """Is the accumulated dead shuffle scratch worth a release-and-poll
+    (JVM GC + bounded drain wait, up to ~15 s)? The r11 gate was an
+    absolute 8 GiB tuned to this host's 59 GB free scratch (ADVICE r11):
+    a near-full small volume still hit ENOSPC under 8 GiB, while a
+    multi-TB scratch host would pay the poll on every call for noise.
+    Gate instead on the RECLAIM RATIO: releasing buys back
+    ``scratch_bytes`` of the volume's headroom, so fire when the dead
+    files exceed SPARK_GRAFT_SCRATCH_RELEASE_FRAC (default 0.15) of
+    (free + scratch) — os.statvfs on the first block-manager dir (local
+    dirs share one volume in local mode; on a cluster each executor
+    probes its own). Falls back to the old absolute gate if statvfs is
+    unavailable."""
+    import os
+
+    try:
+        frac = float(
+            os.environ.get("SPARK_GRAFT_SCRATCH_RELEASE_FRAC", "0.15")
+        )
+    except ValueError:
+        frac = 0.15
+    try:
+        jdirs = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()  # noqa: SLF001
+            .blockManager()
+            .diskBlockManager()
+            .localDirs()
+        )
+        st = os.statvfs(jdirs[0].getAbsolutePath())
+        free = st.f_bavail * st.f_frsize
+    except Exception:
+        return scratch_bytes > 8 * 2**30
+    return scratch_bytes > frac * (free + scratch_bytes)
 
 
 def _release_pass_shuffles(spark: SparkSession) -> None:
@@ -1176,7 +1213,28 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     input of the old both-orderings join. Then two ITEM-scale count
     joins onto the pair frame and one per-item top-k window. Item-count
     frames are vocabulary-scale (≪ pairs) and broadcast when small;
-    co_users ≥ CF_MIN_CO prunes the pair tail before the joins."""
+    co_users ≥ CF_MIN_CO prunes the pair tail before the joins.
+
+    Two r12 exchange levers (VERDICT r11 item 3 — the raw pair exchange
+    was the one pair-family term with no pruning knob):
+
+    * EXACT min-support pre-prune: co(a,b) ≤ min(deg_a, deg_b), so a
+      part whose distinct-user degree is < CF_MIN_CO cannot appear in
+      any pair that survives the HAVING — dropping its (u, pk) rows
+      BEFORE the pair join changes nothing (nu keeps pre-prune counts,
+      though for surviving pairs even that is moot). On real
+      market-basket corpora the degree-1 tail is typically 40–60% of
+      the catalog; on this uniform TPC-H fixture it is measured EMPTY
+      (0 of 2M parts at sf10, avg degree 30), so the prune is gated on
+      a one-action probe and skipped when there is no tail (forceable
+      via SPARK_GRAFT_CF_FORCE_PRUNE=1 — the equality pytest runs both
+      paths). The probe doubles as the packed-key range guard.
+    * PACKED pair key: the co-count exchange is the op's dominant term
+      (~1.3e9 near-unique rows at sf10 — map-side combine can't help),
+      so the unordered pair ships as ONE bigint (least<<32 | greatest)
+      instead of two, halving the shuffled key bytes; decoded right
+      after the agg. Falls back to the two-column key if max(pk) ≥
+      2³¹ (TPC-H keys reach that around sf~10⁴ per scaling rules)."""
     from pyspark import StorageLevel
 
     from finegourmet_spark.operators.cellpairs import bounded_cell_self_join
@@ -1197,24 +1255,98 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     up.count()  # materialize the pin before fan-out
     nu = up.groupBy("pk").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
-    pairs, parts = bounded_cell_self_join(
-        up, "u", "pk", CF_USER_CAP, return_parts=True
+    # ONE item-scale action answers both adaptive questions: is there a
+    # sub-support degree tail to prune, and do part keys fit the packed
+    # 32-bit halves
+    probe = nu.agg(
+        F.sum((F.col("n") < CF_MIN_CO).cast("bigint")).alias("tail"),
+        F.max("pk").alias("max_pk"),
+    ).first()
+    n_tail = int(probe["tail"] or 0)
+    packable = int(probe["max_pk"] or 0) < (1 << 31) and (
+        os.environ.get("SPARK_GRAFT_CF_PACK_DISABLE") != "1"
     )
-    half = (
-        pairs.select(
-            F.least(F.col("a_pk"), F.col("b_pk")).alias("pa"),
-            F.greatest(F.col("a_pk"), F.col("b_pk")).alias("pb"),
-        )
+    cf_input = up
+    if n_tail or os.environ.get("SPARK_GRAFT_CF_FORCE_PRUNE") == "1":
+        tail = nu.filter(F.col("n") < CF_MIN_CO).select("pk")
+        # anti-join on the TAIL (≤ item-scale by construction; AQE
+        # broadcasts it when small) — exact, see docstring
+        cf_input = up.join(tail, "pk", "left_anti")
+    pairs, parts = bounded_cell_self_join(
+        cf_input, "u", "pk", CF_USER_CAP, return_parts=True
+    )
+    if packable:
+        pair_key = [
+            (
+                F.shiftleft(F.least("a_pk", "b_pk").cast("bigint"), 32)
+                + F.greatest("a_pk", "b_pk").cast("bigint")
+            ).alias("pab")
+        ]
+        decode = [
+            F.shiftright("pab", 32).alias("pa"),
+            F.col("pab").bitwiseAND(F.lit((1 << 32) - 1)).alias("pb"),
+        ]
+    else:
+        pair_key = [
+            F.least("a_pk", "b_pk").alias("pa"),
+            F.greatest("a_pk", "b_pk").alias("pb"),
+        ]
+        decode = [F.col("pa"), F.col("pb")]
+    key_names = ["pab"] if packable else ["pa", "pb"]
+    keyed = pairs.select(*pair_key)
+
+    def _co_counts(df: DataFrame, width: int) -> DataFrame:
         # pair keys are near-unique, so the map-side combine barely
         # reduces and the agg's exchange must carry ~every pair row: size
         # it like the join (helper docstring — a session-width exchange
         # here re-created the 8 GB AGGREGATE_OUT_OF_MEMORY one stage
         # after the join fix)
-        .repartition(parts, "pa", "pb")
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
-        .filter(F.col("c") >= CF_MIN_CO)
-    )
+        return (
+            df.repartition(max(1, width), *key_names)
+            .groupBy(*key_names)
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+            .filter(F.col("c") >= CF_MIN_CO)
+        )
+
+    # Scratch governor (VERDICT r11 item 3): the pair-agg exchange is the
+    # op's dominant disk term (~1.3e9 rows at sf10, linear in SF — no
+    # per-host scratch fits it forever). SPARK_GRAFT_CF_PASSES=K slices
+    # the exchange into K hash-disjoint pair families (every occurrence
+    # of one pair key lands in exactly one slice, so per-slice counts and
+    # the ≥ CF_MIN_CO filter are exact); each slice is materialized with
+    # a lineage-truncating localCheckpoint — the SURVIVOR frame (c ≥
+    # CF_MIN_CO) is support-scale, far below the r11 320M-row heap-
+    # promotion regime — and the slice's dead pair shuffle is released
+    # before the next pass writes its own (the graph-grace pattern).
+    # Compute is re-paid K times (the cell join re-runs per slice; its
+    # own up-scale shuffle is reused across passes via Spark's shuffle
+    # reuse), disk is bounded at ~exchange/K: the knob trades CPU for
+    # scratch exactly like ${SPARK_GRAFT_CF_PASSES}=1 clusters with big
+    # per-executor disks vs small ones. Default 1 (single exchange).
+    try:
+        passes = max(1, int(os.environ.get("SPARK_GRAFT_CF_PASSES", "1")))
+    except ValueError:
+        passes = 1
+    if passes == 1:
+        half = _co_counts(keyed, parts).select(*decode, "c")
+    else:
+        slices = []
+        for i in range(passes):
+            sl = keyed.filter(
+                F.pmod(F.xxhash64(*key_names), F.lit(passes)) == i
+            )
+            pinned = _co_counts(sl, parts // passes).localCheckpoint(
+                eager=True
+            )
+            slices.append(pinned)
+            scratch = _shuffle_scratch_bytes(spark)
+            if scratch is not None and _scratch_pressure(spark, scratch):
+                _release_pass_shuffles(spark)
+            _pass_log(f"item-item CF pair slice {i + 1}/{passes} done")
+        half = slices[0]
+        for s in slices[1:]:
+            half = half.unionByName(s)
+        half = half.select(*decode, "c")
     co = half.unionByName(
         half.select(
             F.col("pb").alias("pa"), F.col("pa").alias("pb"), "c"

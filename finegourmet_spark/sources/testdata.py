@@ -82,7 +82,13 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
 
     Parquet footers record exact ``num_rows`` per file (public format
     spec), so this equals ``count()`` for any committed dataset; a pytest
-    asserts that equality on the fixtures (tests/test_sources.py)."""
+    asserts that equality on the fixtures
+    (tests/test_approx_and_lsh.py::test_footer_row_count_matches_scan).
+
+    Hidden/staging paths are skipped to match Spark/Hive path filtering
+    (ADVICE r11): an aborted write's ``_temporary/**/part-*.parquet`` or
+    dot-prefixed files are invisible to ``spark.read`` but WOULD be
+    summed by a naive walk, silently inflating the count."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         import pyarrow.parquet as pq
@@ -93,6 +99,13 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
                 for root, _dirs, fs in os.walk(path)
                 for f in fs
                 if f.endswith(".parquet")
+                and not any(
+                    part.startswith(("_", "."))
+                    for part in os.path.join(
+                        os.path.relpath(root, path), f
+                    ).split(os.sep)
+                    if part != "."
+                )
             ]
             if not files:
                 return None

@@ -154,3 +154,31 @@ def test_footer_row_count_matches_scan(spark, sf_dir):
         assert footer == load_table(spark, sf_dir, name).count(), name
     # missing table ⇒ None (fall back), never 0
     assert table_row_count(sf_dir, "no_such_table") is None
+
+
+def test_footer_row_count_skips_staging_paths(spark, sf_dir, tmp_path):
+    """table_row_count must ignore hidden/staging files the way Spark's
+    reader does (ADVICE r11): an aborted write's _temporary/ part files
+    and dot-prefixed files must not inflate the footer count past
+    df.count()."""
+    import os
+    import shutil
+
+    from finegourmet_spark.sources.testdata import table_row_count
+
+    src = f"{sf_dir}/region.parquet"
+    dst = tmp_path / "region.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+        datafile = next(p for p in dst.rglob("*.parquet"))
+    else:
+        dst.mkdir()
+        shutil.copy(src, dst / "part-00000.parquet")
+        datafile = dst / "part-00000.parquet"
+    clean = table_row_count(str(tmp_path), "region")
+    staging = dst / "_temporary" / "0" / "task_1"
+    staging.mkdir(parents=True)
+    shutil.copy(datafile, staging / "part-duplicate.parquet")
+    shutil.copy(datafile, dst / ".part-hidden.parquet")
+    assert table_row_count(str(tmp_path), "region") == clean
+    assert clean == spark.read.parquet(str(dst)).count()

@@ -195,6 +195,60 @@ def test_item_item_cf_hot_basket_invariant(spark, sf_dir, monkeypatch):
     assert base  # non-trivial result at sf0.001
 
 
+def test_item_item_cf_force_prune_invariant(spark, sf_dir, monkeypatch):
+    """q_item_item_cf with the min-support pre-prune FORCED must equal the
+    probe-gated default exactly (VERDICT r11 item 3): the prune drops only
+    (u, pk) rows of parts whose degree is < CF_MIN_CO, which by
+    co ≤ min(deg) cannot appear in any surviving pair. On the uniform
+    TPC-H fixture the tail is empty (probe skips the prune), so forcing
+    exercises the anti-join path against the no-join plan."""
+    import finegourmet_spark.operators.graph as g
+
+    key = lambda r: (r["part_a"], r["part_b"])  # noqa: E731
+    base = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+            for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CF_FORCE_PRUNE", "1")
+    forced = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+              for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    assert base == forced
+    assert base
+
+
+def test_item_item_cf_packed_key_fallback_invariant(spark, sf_dir,
+                                                    monkeypatch):
+    """The packed single-bigint pair key and the two-column fallback must
+    agree exactly — SPARK_GRAFT_CF_PACK_DISABLE=1 forces the fallback
+    branch that max(pk) ≥ 2³¹ would select, so the >sf10⁴ key-range path
+    is exercised on small fixtures."""
+    import finegourmet_spark.operators.graph as g
+
+    key = lambda r: (r["part_a"], r["part_b"])  # noqa: E731
+    base = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+            for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CF_PACK_DISABLE", "1")
+    unpacked = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+                for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    assert base == unpacked
+    assert base
+
+
+def test_item_item_cf_grace_passes_invariant(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_CF_PASSES=K slices the pair-agg exchange into K
+    hash-disjoint pair families (the scratch governor): every occurrence
+    of a pair key lands in exactly one slice, so the sliced union must
+    equal the single-exchange result exactly."""
+    import finegourmet_spark.operators.graph as g
+
+    key = lambda r: (r["part_a"], r["part_b"])  # noqa: E731
+    base = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+            for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CF_PASSES", "3")
+    sliced = {key(r): (r["co_users"], r["cos2_ppm"], r["rank"])
+              for r in g.q_item_item_cf(spark, sf_dir).collect()}
+    assert base == sliced
+    assert base
+
+
 def test_hot_cell_cap_bounds_sub_cells(spark, emb_dir, monkeypatch):
     """The hot cell must actually split: >1 sub-bucket, and no sub-bucket
     anywhere near the unsplit cell size (xxhash spread, not a hard bound —

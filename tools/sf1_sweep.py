@@ -55,7 +55,9 @@ def main() -> int:
         if unknown:
             print(f"unknown query names in {sys.argv[2]}: {unknown}")
             return 2
-        names = list(wanted)
+        # order-preserving dedupe (ADVICE r11): a duplicated line must not
+        # sweep the query twice
+        names = list(dict.fromkeys(wanted))
     else:
         start_at = sys.argv[1] if len(sys.argv) > 1 else None
         if start_at:
