@@ -15,6 +15,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -704,6 +706,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phase_barrier(df: DataFrame) -> DataFrame:
+    """Materialize a SMALL phase product (doc-scale: one row per doc, a
+    few hundred bytes each — NEVER a shingle-exploded frame, that is the
+    r11 localCheckpoint heap-promotion regime) with a lineage-truncating
+    eager localCheckpoint, then release the now-dead upstream shuffle
+    files if the scratch volume is under pressure.
+
+    Why (r12, measured twice): q_setsim_join_prefix at sf100-mut (5M
+    docs) died SPILL_OUT_OF_MEMORY/ENOSPC at ~47 GB and again at ~60 GB
+    free scratch — the token-prep exchanges (df-count shuffle, the
+    terms⋈dfreq join, the rarest-first collect_list, each ~320M rows)
+    live in the SAME action as the candidate join and verify joins, so
+    all of them coexist on disk. Pinning the doc-scale phase product
+    truncates lineage, turning the prep shuffles dead; the release
+    (pressure-gated, no-op at test scale) hands them back before the
+    candidate/verify phase writes its own. Same pattern as
+    min_label_components' post-pin release (dedup.py:309-340)."""
+    out = df.localCheckpoint(eager=True)
+    from finegourmet_spark.operators.graph import (
+        _release_pass_shuffles,
+        _scratch_pressure,
+        _shuffle_scratch_bytes,
+    )
+
+    spark = df.sparkSession
+    scratch = _shuffle_scratch_bytes(spark)
+    if scratch is not None and _scratch_pressure(spark, scratch):
+        _release_pass_shuffles(spark)
+    return out
+
+
 SETSIM_THETA_NUM, SETSIM_THETA_DEN = 1, 2  # Jaccard threshold θ = 1/2
 
 
@@ -769,25 +802,77 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = tok.select("doc_id", F.explode("tk").alias("term"))
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # canonical rarest-first per-doc order; prefix keeps |x|-⌈θ|x|⌉+1 tokens
-    ordered = (
-        terms.join(dfreq, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("term")))
-            ).alias("stk")
+
+    def _ordered_of(t_slice: DataFrame) -> DataFrame:
+        # canonical rarest-first per-doc order; prefix keeps
+        # |x|-⌈θ|x|⌉+1 tokens. Per-doc, so any doc-subset computes its
+        # rows independently given the GLOBAL dfreq.
+        return (
+            t_slice.join(dfreq, "term")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("term")))
+                ).alias("stk")
+            )
+            .select(
+                "doc_id",
+                F.size("stk").alias("sz"),
+                F.expr(
+                    "transform(slice(stk, 1, size(stk) - "
+                    f"ceil({SETSIM_THETA_NUM} * size(stk) "
+                    f"/ {SETSIM_THETA_DEN}) + 1"
+                    "), x -> x.term)"
+                ).alias("prefix"),
+            )
         )
-        .select(
-            "doc_id",
-            F.size("stk").alias("sz"),
-            F.expr(
-                "transform(slice(stk, 1, size(stk) - "
-                f"ceil({SETSIM_THETA_NUM} * size(stk) / {SETSIM_THETA_DEN}) + 1"
-                "), x -> x.term)"
-            ).alias("prefix"),
+
+    # Token-prep scratch governor (r12, measured need): at sf100-mut
+    # (5M docs, 260M shingle rows, 24 GB heap) the rarest-first
+    # sort-agg and the terms⋈dfreq join sorts cross the in-memory
+    # threshold and spill ~everything — two ENOSPC deaths at ~60 GB free
+    # scratch, while sf30-mut (78M rows) runs in 2.6 GB. The per-doc
+    # prefix needs only the GLOBAL df table, so SPARK_GRAFT_SETSIM_PASSES=K
+    # slices token-prep by doc hash: dfreq is computed once and pinned
+    # DISK_ONLY, each slice's sort covers rows/K (back under the
+    # in-memory threshold), its doc-scale output is pinned and its dead
+    # shuffles released before the next slice writes (_phase_barrier).
+    # Candidates/verify then run ONCE over the union — pair completeness
+    # is untouched because slicing only partitions the per-doc prep.
+    try:
+        prep_passes = max(
+            1, int(os.environ.get("SPARK_GRAFT_SETSIM_PASSES", "1"))
         )
-    )
+    except ValueError:
+        prep_passes = 1
+    if prep_passes == 1:
+        # doc-scale (one row per doc, ≤ ~prefix-length longs each): pin it
+        # and release the token-prep exchanges before the candidate phase
+        ordered = _phase_barrier(_ordered_of(terms))
+    else:
+        from pyspark import StorageLevel
+
+        # tok feeds every prep slice and both sides of every verify
+        # slice — pin it (DISK_ONLY: array frames are the r11
+        # heap-promotion class) instead of re-running the scan+explode
+        # 3K times; dfreq materializes once for all slices.
+        tok = tok.persist(StorageLevel.DISK_ONLY)
+        dfreq = dfreq.persist(StorageLevel.DISK_ONLY)
+        dfreq.count()  # materialize once; reused by every slice
+        ordered_slices = [
+            _phase_barrier(
+                _ordered_of(
+                    terms.filter(
+                        F.pmod(F.xxhash64("doc_id"), F.lit(prep_passes)) == i
+                    )
+                )
+            )
+            for i in range(prep_passes)
+        ]
+        dfreq.unpersist(blocking=False)
+        ordered = ordered_slices[0]
+        for s in ordered_slices[1:]:
+            ordered = ordered.unionByName(s)
     pre = ordered.select("doc_id", "sz", F.explode("prefix").alias("term"))
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
@@ -805,35 +890,75 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = (
-        cand.join(
-            tok.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka")),
-            "doc_a",
+    def _verify_of(c: DataFrame) -> DataFrame:
+        return (
+            c.join(
+                tok.select(
+                    F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka")
+                ),
+                "doc_a",
+            )
+            .join(
+                tok.select(
+                    F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("tka", "tkb")).alias("inter"),
+                (F.size("tka") + F.size("tkb")).alias("sum_sz"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("inter").cast("bigint").alias("n_common"),
+                (F.col("sum_sz") - F.col("inter"))
+                .cast("bigint")
+                .alias("n_union"),
+            )
+            .filter(
+                SETSIM_THETA_DEN * F.col("n_common")
+                >= SETSIM_THETA_NUM * F.col("n_union")
+            )
+            .withColumn(
+                "jac_ppm",
+                F.expr("(1000000 * n_common) div n_union").cast("bigint"),
+            )
         )
-        .join(
-            tok.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb")),
-            "doc_b",
+
+    if prep_passes == 1:
+        return _verify_of(cand)
+    # Verify-phase arm of the same governor (r12, measured need): the
+    # candidates are LINEAR on this corpus (152.4M at sf100-mut = 10× the
+    # sf10-mut 15.25M, max prefix bucket 6 — probed), but each candidate
+    # row co-ships BOTH shingle arrays (~900 B) through two join sorts:
+    # ~65 GB of sort/shuffle for 152M candidates of which only ~2.6M
+    # survive θ — the measured stage-58 ENOSPC after prep slicing alone.
+    # Slice the verify by pair hash: survivors per slice are tiny
+    # (pinned doc-pair-scale by _phase_barrier, dead verify shuffles
+    # released), peak scratch ~verify/K. Exact: slices partition pairs.
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.DISK_ONLY)
+    cand.count()
+    out_slices = [
+        _phase_barrier(
+            _verify_of(
+                cand.filter(
+                    F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(prep_passes))
+                    == i
+                )
+            )
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("tka", "tkb")).alias("inter"),
-            (F.size("tka") + F.size("tkb")).alias("sum_sz"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").cast("bigint").alias("n_common"),
-            (F.col("sum_sz") - F.col("inter")).cast("bigint").alias("n_union"),
-        )
-        .filter(
-            SETSIM_THETA_DEN * F.col("n_common")
-            >= SETSIM_THETA_NUM * F.col("n_union")
-        )
-    )
-    return verified.withColumn(
-        "jac_ppm", F.expr("(1000000 * n_common) div n_union").cast("bigint")
-    )
+        for i in range(prep_passes)
+    ]
+    cand.unpersist(blocking=False)
+    result = out_slices[0]
+    for s in out_slices[1:]:
+        result = result.unionByName(s)
+    return result
 
 
 CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment threshold t = 4/5
@@ -891,7 +1016,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = tok.select("doc_id", F.explode("tk").alias("term"))
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
+    prefix_arr = (
         terms.join(dfreq, "term")
         .groupBy("doc_id")
         .agg(
@@ -901,15 +1026,16 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(stk, 1, size(stk) - "
-                    f"ceil({CONTAIN_NUM} * size(stk) / {CONTAIN_DEN}) + 1"
-                    "), x -> x.term)"
-                )
-            ).alias("term"),
+            F.expr(
+                "transform(slice(stk, 1, size(stk) - "
+                f"ceil({CONTAIN_NUM} * size(stk) / {CONTAIN_DEN}) + 1"
+                "), x -> x.term)"
+            ).alias("prefix"),
         )
     )
+    # doc-scale pin + release of the token-prep exchanges (see setsim)
+    prefix_arr = _phase_barrier(prefix_arr)
+    prefix = prefix_arr.select("doc_id", F.explode("prefix").alias("term"))
     a, b = prefix.alias("a"), terms.alias("b")
     cand = (
         a.join(

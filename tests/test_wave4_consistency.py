@@ -337,6 +337,20 @@ def test_setsim_prefix_matches_python_model(spark, sf_dir):
     assert got == expected
 
 
+def test_setsim_prep_passes_invariant(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_SETSIM_PASSES=K slices the token-prep phase by doc hash
+    (the scratch governor): per-doc prefixes depend only on the global df
+    table, so the sliced union must equal the single-pass result exactly."""
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    base = {key(r): (r["n_common"], r["n_union"], r["jac_ppm"])
+            for r in QUERIES["q_setsim_join_prefix"](spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_SETSIM_PASSES", "3")
+    sliced = {key(r): (r["n_common"], r["n_union"], r["jac_ppm"])
+              for r in QUERIES["q_setsim_join_prefix"](spark, sf_dir).collect()}
+    assert base == sliced
+    assert base
+
+
 def test_ohlc_bars_match_python_model(spark, sf_dir):
     """OHLC endpoints/extremes recomputed per (event_type, hour); volume via
     the same exact decimal(18,4) cast-sum."""
