@@ -35,50 +35,30 @@ import finegourmet_spark.streaming.cdc  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
 # Registration order is the driver's sampling order: the driver checks the
-# FIRST 50 registered queries only (observed r1-r11). Round-12 rotation
-# (VERDICT r11 item 1, standing oldest-evidence-first protocol, plus the
+# FIRST 50 registered queries only (observed r1-r12). Round-13 rotation
+# (VERDICT r12 item 1, standing oldest-evidence-first protocol, plus the
 # r10 changed-code-first rule): slots 0-2 are the three ops whose CODE
 # changed this round and whose prior evidence is therefore stale —
-# q_setsim_join_prefix / q_containment_dedup (shingles hashed to xxhash64
-# longs at tokenize time, VERDICT r11 item 2) and q_item_item_cf
-# (min-support pre-prune + packed pair key, VERDICT r11 item 3). Slots
-# 3-28 are the 26 r6-evidence leftovers (alphabetical), slots 29-49 the
-# first 21 of the 49 r8-evidence rows (alphabetical). After this round the
-# max oracle-backed evidence age is r8 (28 rows left for the r13 window).
-# The 8 by-design rows-only queries (ANN/sketch internals) stay
-# immediately below the boundary per VERDICT r2 item 3 — they can never
-# hash-match and would burn slots; their freshness is covered by the
+# q_setsim_join_prefix / q_containment_dedup (AllPairs → full PPJoin:
+# positional + length filters, VERDICT r12 item 2) and q_item_item_cf
+# (pair-slice loop ported onto operators/scratch.sliced_exchange,
+# VERDICT r12 item 4 — pure refactor, but changed code is changed code).
+# Slots 3-30 are the 28 r8-evidence leftovers (alphabetical), slots 31-49
+# the first 19 of the 47 r9-evidence rows (alphabetical). After this round
+# the max oracle-backed evidence age is r9 (28 rows left for the r14
+# window head). The 8 by-design rows-only queries (ANN/sketch internals)
+# stay immediately below the boundary per VERDICT r2 item 3 — they can
+# never hash-match and would burn slots; their freshness is covered by the
 # per-round rows-only re-confirm protocol (VERDICT r10 item 4, see
-# COVERAGE.md). Below them: the r8 leftovers, then r9/r10/r11 evidence in
-# age order, so every future rotation reads off the top. The whole window
-# was pre-verified green by the repo driver-sim at sf0.01 before commit.
+# COVERAGE.md; this round re-confirms q_hll_rollup + q_dedup_minhash_ml).
+# Below them: the r9 leftovers, then r10/r11/r12 evidence in age order, so
+# every future rotation reads off the top. The whole window was
+# pre-verified green by the repo driver-sim at sf0.01 before commit.
 _PRIORITY = [
-    # ---- slots 0-2: r12 changed-code ops (evidence invalidated) ---------
+    # ---- slots 0-2: r13 changed-code ops (evidence invalidated) ---------
     "q_setsim_join_prefix", "q_containment_dedup", "q_item_item_cf",
-    # ---- slots 3-28: the 26 r6-evidence leftovers (oldest oracle-backed
-    #      driver rows in the registry, VERDICT r11 item 1) ---------------
-    "q_merge_upsert", "q_ols_trend", "q_order_gaps", "q_out_of_order_events",
-    "q_percentile_cont_exact", "q_pipe_syntax", "q_pit_features",
-    "q_rank_wilson", "q_rrf_fusion", "q_scd2_lookup", "q_seasonal_forecast",
-    "q_share_of_parent", "q_simpson_diversity", "q_skew_diagnose",
-    "q_snapshot_diff_cdc", "q_sql_scalar_function", "q_stickiness",
-    "q_table_checksum", "q_token_count_pretokenizer", "q_topn_others",
-    "q_try_arithmetic", "q_url_canonicalize", "q_variant_funcs",
-    "q_vocab_oov_rate", "q_weighted_median", "q_xml_funcs",
-    # ---- slots 29-49: first 21 of the r8-evidence wave, alphabetical ----
-    "q_agg_first_nonnull", "q_agg_rollup", "q_array_funcs", "q_case_when",
-    "q_corpus_curate", "q_date_funcs", "q_decontaminate", "q_dedup_clusters",
-    "q_dedup_rownum", "q_distinct", "q_except", "q_filter_pred",
-    "q_geo_nearest_grid", "q_graph_jaccard_capped",
-    "q_graph_jaccard_neighbors", "q_graph_lpa_users", "q_in_subquery",
-    "q_intersect", "q_join_anti", "q_join_asof", "q_join_cross",
-    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
-    #      can never match — ANN/sketch internals; pytest semantic bounds
-    #      + the per-round re-confirm protocol stand in) -----------------
-    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
-    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
-    "q_similarity_lsh", "q_dedup_simhash",
-    # ---- r8-evidence leftovers (the r13 window head) --------------------
+    # ---- slots 3-30: the 28 r8-evidence leftovers (oldest oracle-backed
+    #      driver rows in the registry, VERDICT r12 item 1) ---------------
     "q_join_full", "q_join_left", "q_join_range", "q_join_right",
     "q_join_semi", "q_join_theta", "q_lang_id_chargram", "q_map_funcs",
     "q_math_funcs", "q_pivot", "q_recursive_cte", "q_repetition_ratio",
@@ -87,13 +67,21 @@ _PRIORITY = [
     "q_surrogate_keys", "q_text_stats", "q_udaf", "q_udf_scalar", "q_union",
     "q_unpivot", "q_window_analytic", "q_window_distribution",
     "q_window_rank",
-    # ---- r9 evidence ----------------------------------------------------
+    # ---- slots 31-49: first 19 of the r9-evidence wave, alphabetical ----
     "q_agg_basic", "q_agg_conditional", "q_agg_cube", "q_agg_grouping_sets",
     "q_agg_mode", "q_agg_percentile_exact", "q_agg_salted", "q_agg_stats",
     "q_bootstrap_poisson", "q_bpe_merge_candidates", "q_chunk_documents",
     "q_cooccurrence_lift", "q_date_spine_fill", "q_dedup_exact",
     "q_diff_in_diff", "q_embedding_quality_audit", "q_except_all",
-    "q_explode_outer", "q_explode_wordcount", "q_funnel_unordered",
+    "q_explode_outer", "q_explode_wordcount",
+    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
+    #      can never match — ANN/sketch internals; pytest semantic bounds
+    #      + the per-round re-confirm protocol stand in) -----------------
+    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
+    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
+    "q_similarity_lsh", "q_dedup_simhash",
+    # ---- r9-evidence leftovers (the r14 window head) --------------------
+    "q_funnel_unordered",
     "q_geo_dbscan", "q_graph_label_propagation", "q_group_by_all",
     "q_grouped_percentiles", "q_histogram_log_bins", "q_intersect_all",
     "q_join_asof_tolerance", "q_join_inner", "q_join_null_safe",
@@ -138,6 +126,23 @@ _PRIORITY = [
     "q_incremental_agg_retraction", "q_interval_coverage",
     "q_json_quarantine", "q_keyspace_gaps", "q_lambda_funcs",
     "q_late_arriving_dim", "q_mask_pii",
+    # ---- r12 evidence (the r12 driver window minus the three moved to
+    #      the r13 changed-code head): the 26 one-time r6 leftovers, then
+    #      the first 21 of the r8 wave --------------------------------
+    "q_merge_upsert", "q_ols_trend", "q_order_gaps", "q_out_of_order_events",
+    "q_percentile_cont_exact", "q_pipe_syntax", "q_pit_features",
+    "q_rank_wilson", "q_rrf_fusion", "q_scd2_lookup", "q_seasonal_forecast",
+    "q_share_of_parent", "q_simpson_diversity", "q_skew_diagnose",
+    "q_snapshot_diff_cdc", "q_sql_scalar_function", "q_stickiness",
+    "q_table_checksum", "q_token_count_pretokenizer", "q_topn_others",
+    "q_try_arithmetic", "q_url_canonicalize", "q_variant_funcs",
+    "q_vocab_oov_rate", "q_weighted_median", "q_xml_funcs",
+    "q_agg_first_nonnull", "q_agg_rollup", "q_array_funcs", "q_case_when",
+    "q_corpus_curate", "q_date_funcs", "q_decontaminate", "q_dedup_clusters",
+    "q_dedup_rownum", "q_distinct", "q_except", "q_filter_pred",
+    "q_geo_nearest_grid", "q_graph_jaccard_capped",
+    "q_graph_jaccard_neighbors", "q_graph_lpa_users", "q_in_subquery",
+    "q_intersect", "q_join_anti", "q_join_asof", "q_join_cross",
 ]
 
 

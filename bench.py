@@ -19,8 +19,9 @@ import time
 
 def _host_canary() -> tuple[float, float]:
     """Fixed ~2 s machine-state microbench (VERDICT r11 item 4): a
-    single-thread integer loop (CPU/interpreter speed) and a 1 GiB numpy
-    memcpy sweep (memory bandwidth), both constant work by construction.
+    single-thread integer loop (CPU/interpreter speed) and a 256 MiB-
+    buffer numpy memcpy sweep (memory bandwidth, ~2 GiB copied per
+    direction), both constant work by construction.
     Two rounds each paid a worktree-bisect session to adjudicate
     wedge-class wall-time drift (282.7→1330 s) as host state; recording
     these next to loadavg_prerun makes that a one-number read against the
@@ -44,7 +45,7 @@ def _host_canary() -> tuple[float, float]:
         for _ in range(8):
             b[:] = a
             a[:] = b
-        membw_s = time.perf_counter() - t0  # 4 GiB copied each way
+        membw_s = time.perf_counter() - t0  # 8×256 MiB ≈ 2 GiB each way
         del a, b
     except Exception:
         membw_s = -1.0

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 from finegourmet_spark.functions.partitioning import spread
 from finegourmet_spark.operators.registry import query
+from finegourmet_spark.operators.scratch import (
+    phase_barrier as _phase_barrier,
+    release_if_pressured,
+    sliced_exchange,
+)
 from finegourmet_spark.sources.testdata import load_table as t
 
 
@@ -320,16 +325,7 @@ def min_label_components(
     # (ADVICE r11 — was an absolute 8 GiB tied to this host) so
     # test-scale calls pay nothing and small-volume hosts still fire.
     # At 100 TB per-executor scratch gets the same bound.
-    from finegourmet_spark.operators.graph import (
-        _release_pass_shuffles,
-        _scratch_pressure,
-        _shuffle_scratch_bytes,
-    )
-
-    spark = pairs.sparkSession
-    scratch = _shuffle_scratch_bytes(spark)
-    if scratch is not None and _scratch_pressure(spark, scratch):
-        _release_pass_shuffles(spark)
+    release_if_pressured(pairs.sparkSession)
 
     labels = nodes.select(id_col, F.col(id_col).alias("cluster_id")).localCheckpoint(
         eager=True
@@ -706,35 +702,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phase_barrier(df: DataFrame) -> DataFrame:
-    """Materialize a SMALL phase product (doc-scale: one row per doc, a
-    few hundred bytes each — NEVER a shingle-exploded frame, that is the
-    r11 localCheckpoint heap-promotion regime) with a lineage-truncating
-    eager localCheckpoint, then release the now-dead upstream shuffle
-    files if the scratch volume is under pressure.
-
-    Why (r12, measured twice): q_setsim_join_prefix at sf100-mut (5M
-    docs) died SPILL_OUT_OF_MEMORY/ENOSPC at ~47 GB and again at ~60 GB
-    free scratch — the token-prep exchanges (df-count shuffle, the
-    terms⋈dfreq join, the rarest-first collect_list, each ~320M rows)
-    live in the SAME action as the candidate join and verify joins, so
-    all of them coexist on disk. Pinning the doc-scale phase product
-    truncates lineage, turning the prep shuffles dead; the release
-    (pressure-gated, no-op at test scale) hands them back before the
-    candidate/verify phase writes its own. Same pattern as
-    min_label_components' post-pin release (dedup.py:309-340)."""
-    out = df.localCheckpoint(eager=True)
-    from finegourmet_spark.operators.graph import (
-        _release_pass_shuffles,
-        _scratch_pressure,
-        _shuffle_scratch_bytes,
-    )
-
-    spark = df.sparkSession
-    scratch = _shuffle_scratch_bytes(spark)
-    if scratch is not None and _scratch_pressure(spark, scratch):
-        _release_pass_shuffles(spark)
-    return out
+# _phase_barrier moved verbatim to operators/scratch.py::phase_barrier
+# (VERDICT r12 item 4) — imported above under the old name.
 
 
 SETSIM_THETA_NUM, SETSIM_THETA_DEN = 1, 2  # Jaccard threshold θ = 1/2
@@ -765,19 +734,27 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     be missed by construction (vs the gate's 1e-8 miss probability), so the
     corpus-wide exact oracle is safe to register.
 
-    Candidate generation: order every doc's shingles rarest-first (global
-    document frequency, shingle tie-break — ONE canonical order shared by
-    all docs), keep only the first |x| − ⌈θ|x|⌉ + 1, and equi-join docs
-    sharing a prefix shingle (plus the θ size filter). Completeness:
-    J(x,y) ≥ θ needs overlap ≥ ⌈θ·max(|x|,|y|)⌉ ≥ ⌈θ|x|⌉; if the pair
-    shares nothing in x's prefix the overlap is capped by the suffix,
-    ⌈θ|x|⌉ − 1 — contradiction. Scale shape: the candidate join keys on
-    each doc's RAREST shingles, so bucket sizes stay bounded exactly where
-    a naive shingle self-join develops quadratic hot-shingle buckets
-    (VERDICT r1 scale-killer #3) — prefix filtering is the deterministic
-    answer to the skew the LSH gate dodges probabilistically. Exact verify
-    touches candidates only (arrays co-shipped by doc-keyed joins); Jaccard
-    is reported as floor-ppm, integer-exact end to end.
+    Candidate generation (full PPJoin, r13 — was AllPairs through r12):
+    order every doc's shingles rarest-first (global document frequency,
+    shingle tie-break — ONE canonical order shared by all docs), keep
+    only the first |x| − ⌈θ|x|⌉ + 1, and equi-join docs sharing a prefix
+    shingle, pruned by THREE exact filters: the length filter
+    (θ|x| ≤ |y|), the prefix filter (sharing nothing in x's prefix caps
+    overlap at ⌈θ|x|⌉ − 1 < the required ⌈θ·max(|x|,|y|)⌉), and the
+    POSITIONAL filter — the first shared prefix token's positions bound
+    overlap ≤ 1 + min(|x|−px, |y|−py), which must reach
+    α = ⌈θ/(1+θ)·(|x|+|y|)⌉ (see the inline proof at the candidate
+    join). The positional filter is the VERDICT r12 item-2 lever: at
+    sf100-mut the prefix+length gate alone passed 152.4M candidates of
+    which only 2.6M survived verify (58:1); position information prunes
+    before the verify join ships any shingle array. Scale shape: the
+    candidate join keys on each doc's RAREST shingles, so bucket sizes
+    stay bounded exactly where a naive shingle self-join develops
+    quadratic hot-shingle buckets (VERDICT r1 scale-killer #3) — prefix
+    filtering is the deterministic answer to the skew the LSH gate
+    dodges probabilistically. Exact verify touches candidates only
+    (arrays co-shipped by doc-keyed joins); Jaccard is reported as
+    floor-ppm, integer-exact end to end.
 
     Shingles are hashed to xxhash64 longs AT TOKENIZE TIME (r12, the
     q_dedup_ngram_jaccard r11 trick applied one level earlier): every
@@ -786,9 +763,13 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships 8 B longs instead of ~40 B n-gram text (~5× less shuffle; this
     was the class that cost q_dedup_ngram_jaccard 1239.6→710.8 s at
     sf100-mut). Canonical order becomes (df, hash) — still one total order
-    shared by all docs, so prefix completeness is untouched. Exactness is
-    unchanged up to 64-bit collisions inside one doc's shingle set
-    (P ≈ |x|²/2⁶⁴ ≈ 1e-15); the DuckDB oracle keeps true strings."""
+    shared by all docs, so prefix completeness is untouched. Collision
+    exposure (ADVICE r12 — state the corpus-level bound, not just the
+    per-doc one): within one doc P ≈ |x|²/2⁶⁴ ≈ 1e-15, and across the
+    corpus the driver-visible mismatch probability is the SUM of
+    |x|·|y|/2⁶⁴ over candidate pairs — ≈1e-7 at sf100-mut's ~1.5e8
+    candidates — still far below any driver tolerance; the DuckDB oracle
+    keeps true strings."""
     docs = t(spark, sf_dir, "documents")
     tok = (
         spread(docs)
@@ -859,36 +840,63 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok = tok.persist(StorageLevel.DISK_ONLY)
         dfreq = dfreq.persist(StorageLevel.DISK_ONLY)
         dfreq.count()  # materialize once; reused by every slice
-        ordered_slices = [
-            _phase_barrier(
-                _ordered_of(
-                    terms.filter(
-                        F.pmod(F.xxhash64("doc_id"), F.lit(prep_passes)) == i
-                    )
-                )
-            )
-            for i in range(prep_passes)
-        ]
+        ordered = sliced_exchange(
+            terms,
+            ["doc_id"],
+            prep_passes,
+            _ordered_of,
+            label="setsim prep slice",
+        )
         dfreq.unpersist(blocking=False)
-        ordered = ordered_slices[0]
-        for s in ordered_slices[1:]:
-            ordered = ordered.unionByName(s)
-    pre = ordered.select("doc_id", "sz", F.explode("prefix").alias("term"))
+    # prefix tokens carry their 1-based POSITION in the doc's canonical
+    # order (prefix = the first tokens of that order, so position-in-
+    # prefix == position-in-doc) — the PPJoin positional filter needs it
+    pre = ordered.select(
+        "doc_id", "sz", F.posexplode("prefix").alias("p0", "term")
+    ).select("doc_id", "sz", (F.col("p0") + 1).alias("pos"), "term")
     a, b = pre.alias("a"), pre.alias("b")
+    # PPJoin positional filter (r13, VERDICT r12 item 2 — the measured
+    # 58:1 candidate:survivor ratio at sf100-mut): a pair's overlap is
+    # bounded by its FIRST shared prefix token's positions. Let t be the
+    # globally-smallest shared token (both docs' lists follow the ONE
+    # canonical (df, hash) order, so t has the minimal position px in x
+    # AND the minimal position py in y simultaneously, and any shared
+    # token ordered before t would itself be in both prefixes — so at t
+    # exactly one match has occurred). Then
+    #     overlap(x,y) ≤ 1 + min(|x| − px, |y| − py)
+    # while J ≥ θ = n/d requires overlap ≥ α = ⌈n(|x|+|y|)/(n+d)⌉.
+    # Pairs whose bound can't reach α drop BEFORE the verify join ships
+    # their shingle arrays — exact (no true pair prunes: its bound ≥ its
+    # true overlap ≥ α), integer arithmetic end to end. The groupBy
+    # replaces the old .distinct() — same exchange, plus two ints.
+    _nd = SETSIM_THETA_NUM + SETSIM_THETA_DEN
     cand = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
+            & (  # length filter: θ|x| ≤ |y| (else J < θ regardless)
                 SETSIM_THETA_DEN * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= SETSIM_THETA_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
             ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
         )
-        .distinct()
+        .agg(
+            F.min(F.col("a.pos")).alias("pa"),
+            F.min(F.col("b.pos")).alias("pb"),
+        )
+        .filter(
+            F.expr(
+                "1 + least(sza - pa, szb - pb) >= "
+                f"({SETSIM_THETA_NUM} * (sza + szb) + {_nd - 1}) div {_nd}"
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     def _verify_of(c: DataFrame) -> DataFrame:
         return (
@@ -943,21 +951,18 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = cand.persist(StorageLevel.DISK_ONLY)
     cand.count()
-    out_slices = [
-        _phase_barrier(
-            _verify_of(
-                cand.filter(
-                    F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(prep_passes))
-                    == i
-                )
-            )
-        )
-        for i in range(prep_passes)
-    ]
+    result = sliced_exchange(
+        cand,
+        ["doc_a", "doc_b"],
+        prep_passes,
+        _verify_of,
+        label="setsim verify slice",
+    )
+    # every verify slice is eagerly pinned by now — both cached inputs
+    # are dead. tok was the leak (ADVICE r12): it outlived the query on
+    # the executors' disks for the rest of the session.
     cand.unpersist(blocking=False)
-    result = out_slices[0]
-    for s in out_slices[1:]:
-        result = result.unionByName(s)
+    tok.unpersist(blocking=False)
     return result
 
 
@@ -995,14 +1000,22 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not knowing which side is smaller. Completeness: containment ≥ t of x
     needs |x∩y| ≥ ⌈t|x|⌉; missing x's whole prefix caps it at ⌈t|x|⌉ − 1.
     No size-ratio filter exists for containment (a tiny doc can live inside
-    a huge one) — that asymmetry is the point. Exact verify on candidates
-    only; floor-ppm output, integer-exact.
+    a huge one) — that asymmetry is the point, which makes the PPJoin
+    POSITIONAL filter (r13, VERDICT r12 item 2) the one prune available:
+    both sides carry each token's position in the canonical rarest-first
+    order, and a pair drops per direction when
+    1 + min(|x|−px, |y|−py) < ⌈t·min(|x|,|y|)⌉ — exact, proven at the
+    candidate join. Exact verify on candidates only; floor-ppm output,
+    integer-exact.
 
     As in q_setsim_join_prefix (r12), shingles are hashed to xxhash64
     longs at tokenize time, so the build-side full-shingle explode — the
     big exchange here, every shingle of every doc — and the verify joins
-    all ship 8 B longs, never n-gram text. Collision exposure is the same
-    negligible per-doc bound; the DuckDB oracle keeps true strings."""
+    all ship 8 B longs, never n-gram text. Collision exposure
+    (ADVICE r12, corpus-level bound): per doc P ≈ |x|²/2⁶⁴ ≈ 1e-15, and
+    the corpus-level driver-mismatch probability is Σ|x||y|/2⁶⁴ over
+    candidate pairs (~1e-7 at sf100-mut) — still negligible; the DuckDB
+    oracle keeps true strings."""
     docs = t(spark, sf_dir, "documents")
     tok = (
         spread(docs)
@@ -1016,7 +1029,11 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = tok.select("doc_id", F.explode("tk").alias("term"))
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    prefix_arr = (
+    # FULL canonical (rarest-first) token array per doc — the prefix is
+    # its head slice, and the build side now explodes it WITH positions
+    # so the positional filter (r13) has py; doc-scale pin + release of
+    # the token-prep exchanges (see setsim)
+    ordered_full = _phase_barrier(
         terms.join(dfreq, "term")
         .groupBy("doc_id")
         .agg(
@@ -1025,27 +1042,65 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stk")
         )
         .select(
-            "doc_id",
-            F.expr(
-                "transform(slice(stk, 1, size(stk) - "
-                f"ceil({CONTAIN_NUM} * size(stk) / {CONTAIN_DEN}) + 1"
-                "), x -> x.term)"
-            ).alias("prefix"),
+            "doc_id", F.expr("transform(stk, x -> x.term)").alias("otk")
         )
     )
-    # doc-scale pin + release of the token-prep exchanges (see setsim)
-    prefix_arr = _phase_barrier(prefix_arr)
-    prefix = prefix_arr.select("doc_id", F.explode("prefix").alias("term"))
-    a, b = prefix.alias("a"), terms.alias("b")
+    prefix = ordered_full.select(
+        "doc_id",
+        F.size("otk").alias("sz"),
+        F.posexplode(
+            F.expr(
+                "slice(otk, 1, size(otk) - "
+                f"ceil({CONTAIN_NUM} * size(otk) / {CONTAIN_DEN}) + 1)"
+            )
+        ).alias("p0", "term"),
+    ).select("doc_id", "sz", (F.col("p0") + 1).alias("pos"), "term")
+    full = ordered_full.select(
+        "doc_id",
+        F.size("otk").alias("sz"),
+        F.posexplode("otk").alias("p0", "term"),
+    ).select("doc_id", "sz", (F.col("p0") + 1).alias("pos"), "term")
+    a, b = prefix.alias("a"), full.alias("b")
+    # PPJoin positional filter, containment form (r13, VERDICT r12
+    # item 2; the proof mirrors setsim's inline note): both sides follow
+    # the one canonical (df, hash) order, so the globally-smallest token
+    # shared between x's prefix and y's full set has minimal position on
+    # BOTH sides and exactly one match has occurred at it, giving
+    #     |x∩y| ≤ 1 + min(|x| − px, |y| − py)
+    # which must reach α = ⌈t·min(|x|,|y|)⌉. Applied PER DIRECTION
+    # before the least/greatest canonicalization: the direction whose
+    # prefix side is the containment-deciding doc generates AND keeps
+    # every true pair (its bound ≥ its true overlap ≥ α), and the union
+    # of directions can only add candidates — exact. No length filter
+    # exists for containment (a tiny doc inside a huge one is the whole
+    # point); position is the only prune available, which is why the
+    # build side explodes ALL tokens.
     cand = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(
+            F.min(F.col("a.pos")).alias("pa"),
+            F.min(F.col("b.pos")).alias("pb"),
+        )
+        .filter(
+            F.expr(
+                "1 + least(sza - pa, szb - pb) >= "
+                f"({CONTAIN_NUM} * least(sza, szb) + {CONTAIN_DEN - 1}) "
+                f"div {CONTAIN_DEN}"
+            )
+        )
         .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.least(F.col("ida"), F.col("idb")).alias("doc_a"),
+            F.greatest(F.col("ida"), F.col("idb")).alias("doc_b"),
         )
         .distinct()
     )

@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from finegourmet_spark.operators.registry import query
+from finegourmet_spark.operators.scratch import (
+    pass_log as _pass_log,
+    release_pass_shuffles as _release_pass_shuffles,
+    scratch_pressure as _scratch_pressure,
+    shuffle_scratch_bytes as _shuffle_scratch_bytes,
+    sliced_exchange,
+)
 from finegourmet_spark.sources.testdata import load_table as t
 
 PR_ROUNDS = 3
@@ -499,153 +506,11 @@ _PPM = 1_000_000
 _WEDGE_ROWS_PER_PART = 2_000_000
 
 
-def _shuffle_scratch_bytes(spark: SparkSession) -> int | None:
-    """Current on-disk bytes of SHUFFLE files under the block manager's
-    local dirs (the scratch this module budgets). Counts only
-    ``shuffle_*`` block files — DISK_ONLY-persisted rdd blocks live in the
-    same dirs, and including them masks the cleaner's drain signal: the
-    pinned adjacency never shrinks, so a poll watching total dir size
-    waits its full timeout every pass (the r9 first re-run measured the
-    cost: triangles sf10 465.8 s vs 282.7 s). Local-mode only by
-    construction — the dirs live on this host; returns None if the py4j
-    probe fails (e.g. a future Spark renames the accessor), so callers
-    can fall back to a fixed wait."""
-    import os
-
-    try:
-        jdirs = (
-            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()  # noqa: SLF001
-            .blockManager()
-            .diskBlockManager()
-            .localDirs()
-        )
-        roots = [jdirs[i].getAbsolutePath() for i in range(len(jdirs))]
-    except Exception:
-        return None
-    total = 0
-    for root in roots:
-        for dirpath, _dirnames, filenames in os.walk(root):
-            for fn in filenames:
-                if not fn.startswith("shuffle_"):
-                    continue
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, fn))
-                except OSError:
-                    pass  # cleaner raced us: file deleted mid-walk
-    return total
-
-
-def _scratch_pressure(spark: SparkSession, scratch_bytes: int) -> bool:
-    """Is the accumulated dead shuffle scratch worth a release-and-poll
-    (JVM GC + bounded drain wait, up to ~15 s)? The r11 gate was an
-    absolute 8 GiB tuned to this host's 59 GB free scratch (ADVICE r11):
-    a near-full small volume still hit ENOSPC under 8 GiB, while a
-    multi-TB scratch host would pay the poll on every call for noise.
-    Gate instead on the RECLAIM RATIO: releasing buys back
-    ``scratch_bytes`` of the volume's headroom, so fire when the dead
-    files exceed SPARK_GRAFT_SCRATCH_RELEASE_FRAC (default 0.15) of
-    (free + scratch) — os.statvfs on the first block-manager dir (local
-    dirs share one volume in local mode; on a cluster each executor
-    probes its own). Falls back to the old absolute gate if statvfs is
-    unavailable."""
-    import os
-
-    try:
-        frac = float(
-            os.environ.get("SPARK_GRAFT_SCRATCH_RELEASE_FRAC", "0.15")
-        )
-    except ValueError:
-        frac = 0.15
-    try:
-        jdirs = (
-            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()  # noqa: SLF001
-            .blockManager()
-            .diskBlockManager()
-            .localDirs()
-        )
-        st = os.statvfs(jdirs[0].getAbsolutePath())
-        free = st.f_bavail * st.f_frsize
-    except Exception:
-        return scratch_bytes > 8 * 2**30
-    return scratch_bytes > frac * (free + scratch_bytes)
-
-
-def _release_pass_shuffles(spark: SparkSession) -> None:
-    """Between grace passes: drop the finished pass's shuffle files.
-    Python refcounting alone leaves the JVM-side plan objects alive until
-    py4j detach commands flush AND the driver JVM GCs, and the
-    ContextCleaner only deletes shuffle files after that — the r8 capped
-    sf10 run showed cleanup lagging ~2 passes (~42 GB high-water against
-    a 12 GB/slice design). Forcing the Python GC first flushes the py4j
-    detaches, then one JVM GC hands everything to the (blocking-by-
-    default) cleaner. Rather than a fixed sleep (ADVICE r8: on a busy
-    driver 2 s can leave pass i's files coexisting with pass i+1's
-    writes), poll the block-manager scratch dirs with a bounded wait and
-    return as soon as the cleaner visibly drained (two consecutive
-    non-shrinking samples after an initial drop, or any sample below 25%
-    of the starting size)."""
-    import gc as _gc
-    import time as _time
-
-    _gc.collect()
-    before = _shuffle_scratch_bytes(spark)
-    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-    if before is None or before < 2**30:
-        # probe unavailable, or scratch too small for the poll's shrink
-        # signal to register (test-scale passes) — the old fixed wait is
-        # both sufficient and cheaper than a 15 s stabilization poll
-        _time.sleep(2)
-        return
-    start = _time.monotonic()
-    deadline = start + 15.0
-    no_drop_bail = start + 4.0
-    prev = before
-    dropped = False
-    while _time.monotonic() < deadline:
-        _time.sleep(0.5)
-        now = _shuffle_scratch_bytes(spark)
-        if now is None:
-            _time.sleep(1.5)
-            return
-        if now < before // 4:
-            return  # drained well past one pass's share
-        # deletion-rate decay, not equality: the cleaner deletes files
-        # PROGRESSIVELY, so consecutive samples shrink by a little every
-        # time and a strict shrank-then-stabilized test never fires. Once
-        # a drop has been seen and a LATER sample's delta falls under 1%
-        # of the starting size, the cleaner's queue is in its tail. The
-        # tail check reads `dropped` BEFORE this sample updates it
-        # (ADVICE r9): a single first drop smaller than 1% must not
-        # satisfy its own tail test while the cleaner is still spinning
-        # up — the sub-1% delta has to be observed on a sample AFTER the
-        # one that first saw a drop.
-        if dropped and prev - now < before // 100:
-            return
-        if now < prev:
-            dropped = True
-        # no-drop bailout: instrumented sf10 runs showed the cleaner often
-        # does NOT touch the files inside this window at all — deletion
-        # overlaps the next pass's compute instead (the r8 2 s-sleep runs
-        # had bounded high-water exactly this way). Waiting the full 15 s
-        # on every pass cost 108.8 s of pure idle on the 7-pass census;
-        # after 4 s with zero shrinkage, stop stalling the pipeline and
-        # let cleanup ride along — the scratch budget is best-effort
-        # high-water, not a hard bound (see _closure_passes docstring).
-        if not dropped and _time.monotonic() > no_drop_bail:
-            return
-        prev = now
-
-
-def _pass_log(msg: str) -> None:
-    """Per-pass progress line for multi-hour grace-partitioned runs, gated
-    behind SPARK_GRAFT_GRACE_VERBOSE so query output stays clean in tests
-    and the driver harness."""
-    import os as _os
-    import time as _time
-
-    if _os.environ.get("SPARK_GRAFT_GRACE_VERBOSE"):
-        stamp = _time.strftime("%H:%M:%S")
-        print(f"[grace {stamp}] {msg}", flush=True)
+# _shuffle_scratch_bytes / _scratch_pressure / _release_pass_shuffles /
+# _pass_log moved VERBATIM to operators/scratch.py (VERDICT r12 item 4:
+# three ops shared the governor; consolidate before a fourth copy
+# drifts) and are re-imported above under their old names for the
+# existing importers (tests/test_eventflow_graph.py, tools/).
 
 
 _CLOSURE_SCRATCH_ENV = "SPARK_GRAFT_CLOSURE_SCRATCH_GB"
@@ -1330,23 +1195,13 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if passes == 1:
         half = _co_counts(keyed, parts).select(*decode, "c")
     else:
-        slices = []
-        for i in range(passes):
-            sl = keyed.filter(
-                F.pmod(F.xxhash64(*key_names), F.lit(passes)) == i
-            )
-            pinned = _co_counts(sl, parts // passes).localCheckpoint(
-                eager=True
-            )
-            slices.append(pinned)
-            scratch = _shuffle_scratch_bytes(spark)
-            if scratch is not None and _scratch_pressure(spark, scratch):
-                _release_pass_shuffles(spark)
-            _pass_log(f"item-item CF pair slice {i + 1}/{passes} done")
-        half = slices[0]
-        for s in slices[1:]:
-            half = half.unionByName(s)
-        half = half.select(*decode, "c")
+        half = sliced_exchange(
+            keyed,
+            key_names,
+            passes,
+            lambda sl: _co_counts(sl, parts // passes),
+            label="item-item CF pair slice",
+        ).select(*decode, "c")
     co = half.unionByName(
         half.select(
             F.col("pb").alias("pa"), F.col("pa").alias("pb"), "c"
