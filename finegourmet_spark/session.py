@@ -71,6 +71,21 @@ def get_spark(
         )
         # --- Python boundary: Arrow-vectorized, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- liveness under long GC pauses (r13 scale class #5) ---
+        # A 24 GB single-JVM driver paused >133 s under the sf100-mut CF
+        # cell join; Spark's default 120 s network timeout let the
+        # HeartbeatReceiver evict the (in-process!) executor and collapse
+        # the job. Production clusters running GC-heavy shuffles raise
+        # these the same way: tolerance here only delays true-failure
+        # detection — it never changes results or plan shape.
+        .config(
+            "spark.network.timeout",
+            os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "600s"),
+        )
+        .config(
+            "spark.executor.heartbeatInterval",
+            os.environ.get("SPARK_GRAFT_HEARTBEAT_INTERVAL", "20s"),
+        )
         # keep driver logs readable
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -868,3 +868,14 @@ def test_size_aware_broadcast_without_hint(spark, sf_dir):
         src = inspect.getsource(fn)
         for scaling in ("(c)", "(c,", "(cdim", "(p)", "(p,"):
             assert f"F.broadcast{scaling}" not in src, (name, scaling)
+
+
+def test_session_liveness_confs_applied(spark):
+    """The factory's GC-pause liveness posture (r13 scale class #5) must
+    actually reach the session: a 24 GB driver paused >133 s under the
+    sf100-mut CF cell join and Spark's default 120 s network timeout let
+    the HeartbeatReceiver evict the in-process executor. Unknown conf
+    keys are accepted silently (the r3 sessionWindow lesson), so pin via
+    conf.get — these are liveness-only knobs, never results or plans."""
+    assert spark.conf.get("spark.network.timeout") == "600s"
+    assert spark.conf.get("spark.executor.heartbeatInterval") == "20s"
