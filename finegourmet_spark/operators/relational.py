@@ -1152,7 +1152,17 @@ def q_surrogate_keys_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot month × return-flag revenue matrix (dashboard month×type,
     SURVEY §2C #4). Pivot values are declared explicitly — no extra distinct
-    scan to discover them, and stable output column order."""
+    scan to discover them, and stable output column order.
+
+    r13 measured-and-rejected: rewriting as single-pass conditional
+    aggregation (sum(when(flag=V, x)) per flag) removes one Exchange from
+    the plan (2 → 1) but the removed exchange carries only
+    months × flags × tasks partial rows — metadata-sized at EVERY scale —
+    while the conditional form updates 3 aggregation buffers per input row
+    where .pivot()'s first stage updates 1. Measured at sf0.1
+    (min-of-3, same session, A/B/A/B): exec 0.564-0.659 s (.pivot) vs
+    0.601-0.738 s (conditional) — no win, slight per-row regression. The
+    canonical .pivot() plan stays. (OPTIMIZATION_r13.md §q_pivot.)"""
     li = t(spark, sf_dir, "lineitem")
     piv = (
         li.groupBy(F.month("l_shipdate").alias("ship_month"))

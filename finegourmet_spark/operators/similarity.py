@@ -29,7 +29,21 @@ N_QUERIES = 20  # probe set: first 20 vec_ids
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in doubles, sequential fold (deterministic order)."""
+    """Σ aᵢ·bᵢ in doubles, sequential fold (deterministic order).
+
+    r13 measured-and-rejected: unrolling this over the fixed DIM into a
+    GetArrayItem chain (guarded by a size()==DIM dispatch for non-DIM
+    callers) DID speed up execution — the HOF fold is CodegenFallback,
+    interpreted per row — 0.649 s → 0.448 s on the q_similarity_topk
+    scoring stage at sf0.1. But the ~400-node-per-call-site expression
+    tree cost MORE than that in Catalyst analysis/optimization, paid on
+    every query CONSTRUCTION: bench-methodology runs (rebuild per
+    invocation, like the driver's) measured 1.714 s → 3.793 s, and the
+    in-bench q_similarity_topk reading went 1.0 → 2.3 s. Planning cost
+    scales with the expression tree; execution cost with the data — at
+    bench scale planning dominates, and at 100 TB scale the brute-force
+    baseline is not the route anyway (q_similarity_topk_np GEMM / IVF /
+    PQ are). The fold stays. (OPTIMIZATION_r13.md §q_similarity_topk.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -551,6 +565,12 @@ def lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.sequence(F.lit(1), F.lit(DIM))
 
     def sign_bit(p: int) -> Column:
+        # r13 note: unrolling this fold (constant-folding the
+        # xxhash64(lit(i), lit(p)) plane components at plan time) was
+        # measured-and-rejected for the same reason as similarity.dot():
+        # N_TABLES × bits sign bits × DIM terms ≈ a 2500-node projection
+        # whose Catalyst planning cost exceeds the interpreted-eval win at
+        # any scale this query runs at (see dot()'s docstring).
         proj = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
