@@ -75,12 +75,9 @@ def main() -> None:
             except Exception as exc:  # audit tool: never die mid-sweep
                 rows.append((name, f"PLAN-ERROR {type(exc).__name__}: {exc}"))
                 continue
-            n_exchange = len(re.findall(r"\bExchange\b(?! hashpartitioning#)", plan))
-            n_exchange = plan.count("+- Exchange") + plan.count("* Exchange")
             # operator-list lines only (the numbered summary at the top)
             ops = re.findall(r"^\s*[:+\-| ]*\(\d+\) ([A-Za-z]+)", plan, re.M)
             joins = sorted({o for o in ops if "Join" in o or o == "CartesianProduct"})
-            py = sorted({o for o in ops if "Python" in o or "Arrow" in o or "Pandas" in o.replace("InPandas", "Pandas")})
             py = sorted({o for o in ops if "Python" in o or "Arrow" in o or "InPandas" in o})
             n_ex = sum(1 for o in ops if o == "Exchange")
             n_scan = sum(1 for o in ops if o.startswith("Scan"))
