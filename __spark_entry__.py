@@ -35,52 +35,31 @@ import finegourmet_spark.streaming.cdc  # noqa: F401
 from finegourmet_spark.operators.registry import ORACLES, QUERIES
 
 # Registration order is the driver's sampling order: the driver checks the
-# FIRST 50 registered queries only (observed r1-r12). Round-13 rotation
-# (VERDICT r12 item 1, standing oldest-evidence-first protocol, plus the
-# r10 changed-code-first rule): slots 0-2 are the three ops whose CODE
+# FIRST 50 registered queries only (observed r1-r13). Round-14 rotation
+# (VERDICT r13 item 2, standing oldest-evidence-first protocol, plus the
+# r10 changed-code-first rule): slots 0-1 are the two ops whose CODE
 # changed this round and whose prior evidence is therefore stale —
-# q_setsim_join_prefix / q_containment_dedup (AllPairs → full PPJoin:
-# positional + length filters, VERDICT r12 item 2) and q_item_item_cf
-# (pair-slice loop ported onto operators/scratch.sliced_exchange,
-# VERDICT r12 item 4 — pure refactor, but changed code is changed code).
-# Slots 3-30 are the 28 r8-evidence leftovers (alphabetical), slots 31-49
-# the first 19 of the 47 r9-evidence rows (alphabetical). After this round
-# the max oracle-backed evidence age is r9 (28 rows left for the r14
-# window head). The 8 by-design rows-only queries (ANN/sketch internals)
-# stay immediately below the boundary per VERDICT r2 item 3 — they can
-# never hash-match and would burn slots; their freshness is covered by the
-# per-round rows-only re-confirm protocol (VERDICT r10 item 4, see
-# COVERAGE.md; this round re-confirms q_hll_rollup + q_dedup_minhash_ml).
-# Below them: the r9 leftovers, then r10/r11/r12 evidence in age order, so
-# every future rotation reads off the top. The whole window was
-# pre-verified green by the repo driver-sim at sf0.01 before commit.
+# q_setsim_join_prefix / q_containment_dedup (r13 first-match positional
+# filter tightened to the PPJoin prefix-MERGE bound: count + last shared
+# positions, VERDICT r13 item 1). Slots 2-29 are the 28 r9-evidence
+# leftovers (alphabetical — the oldest oracle-backed driver rows in the
+# registry), slots 30-49 the first 20 of the 49 r10-evidence rows
+# (alphabetical). After this round the max oracle-backed evidence age is
+# r10 (29 rows left for the r15 window head). The 8 by-design rows-only
+# queries (ANN/sketch internals) stay immediately below the boundary per
+# VERDICT r2 item 3 — they can never hash-match and would burn slots;
+# their freshness is covered by the per-round rows-only re-confirm
+# protocol (VERDICT r10 item 4, see COVERAGE.md; this round re-confirms
+# q_similarity_lsh + q_dedup_simhash, the next pair in rotation order).
+# Below them: the r10 leftovers, then r11/r12/r13 evidence in age order
+# (q_item_item_cf's r13 slot-2 row files it with the r13 block), so every
+# future rotation reads off the top. The whole window was pre-verified
+# green by the repo driver-sim at sf0.01 before commit.
 _PRIORITY = [
-    # ---- slots 0-2: r13 changed-code ops (evidence invalidated) ---------
-    "q_setsim_join_prefix", "q_containment_dedup", "q_item_item_cf",
-    # ---- slots 3-30: the 28 r8-evidence leftovers (oldest oracle-backed
-    #      driver rows in the registry, VERDICT r12 item 1) ---------------
-    "q_join_full", "q_join_left", "q_join_range", "q_join_right",
-    "q_join_semi", "q_join_theta", "q_lang_id_chargram", "q_map_funcs",
-    "q_math_funcs", "q_pivot", "q_recursive_cte", "q_repetition_ratio",
-    "q_scan_project", "q_sessionize", "q_sort_multi", "q_stream_session",
-    "q_stream_sliding", "q_stream_watermark_dedup", "q_string_funcs",
-    "q_surrogate_keys", "q_text_stats", "q_udaf", "q_udf_scalar", "q_union",
-    "q_unpivot", "q_window_analytic", "q_window_distribution",
-    "q_window_rank",
-    # ---- slots 31-49: first 19 of the r9-evidence wave, alphabetical ----
-    "q_agg_basic", "q_agg_conditional", "q_agg_cube", "q_agg_grouping_sets",
-    "q_agg_mode", "q_agg_percentile_exact", "q_agg_salted", "q_agg_stats",
-    "q_bootstrap_poisson", "q_bpe_merge_candidates", "q_chunk_documents",
-    "q_cooccurrence_lift", "q_date_spine_fill", "q_dedup_exact",
-    "q_diff_in_diff", "q_embedding_quality_audit", "q_except_all",
-    "q_explode_outer", "q_explode_wordcount",
-    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
-    #      can never match — ANN/sketch internals; pytest semantic bounds
-    #      + the per-round re-confirm protocol stand in) -----------------
-    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
-    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
-    "q_similarity_lsh", "q_dedup_simhash",
-    # ---- r9-evidence leftovers (the r14 window head) --------------------
+    # ---- slots 0-1: r14 changed-code ops (evidence invalidated) ---------
+    "q_setsim_join_prefix", "q_containment_dedup",
+    # ---- slots 2-29: the 28 r9-evidence leftovers (oldest oracle-backed
+    #      driver rows in the registry, VERDICT r13 item 2) ---------------
     "q_funnel_unordered",
     "q_geo_dbscan", "q_graph_label_propagation", "q_group_by_all",
     "q_grouped_percentiles", "q_histogram_log_bins", "q_intersect_all",
@@ -90,7 +69,7 @@ _PRIORITY = [
     "q_similarity_topk", "q_star_join", "q_stream_join", "q_stream_tumbling",
     "q_surrogate_keys_scalable", "q_text_quality", "q_timezone_normalize",
     "q_topk", "q_union_missing_cols", "q_window_range_frame", "q_winsorize",
-    # ---- r10 evidence ---------------------------------------------------
+    # ---- slots 30-49: first 20 of the 49 r10-evidence rows, alphabetical
     "q_abc_analysis", "q_allocation_largest_remainder", "q_assoc_rules",
     "q_attribution", "q_autocorr_lag", "q_benford_profile", "q_bm25_topk",
     "q_business_days_sla", "q_cohort_ltv", "q_column_profile",
@@ -98,6 +77,13 @@ _PRIORITY = [
     "q_cusum_anomaly", "q_data_quality_audit", "q_dedup_embedding",
     "q_dedup_incremental", "q_dedup_ngram_jaccard",
     "q_dedup_semantic_clusters", "q_doc_fingerprint", "q_domain_mixture",
+    # ---- slot 50 boundary. First the 8 by-design rows-only queries (hash
+    #      can never match — ANN/sketch internals; pytest semantic bounds
+    #      + the per-round re-confirm protocol stand in) -----------------
+    "q_agg_approx", "q_dedup_minhash", "q_similarity_ivf_kmeans",
+    "q_similarity_pq", "q_hll_rollup", "q_dedup_minhash_ml",
+    "q_similarity_lsh", "q_dedup_simhash",
+    # ---- r10-evidence leftovers (the r15 window head) --------------------
     "q_event_pattern_match", "q_ewma_revenue", "q_funnel", "q_funnel_latency",
     "q_funnel_windowed", "q_fuzzy_join_levenshtein", "q_gini_revenue",
     "q_graph_degree_dist", "q_graph_pagerank", "q_hypertable_rollup",
@@ -143,6 +129,25 @@ _PRIORITY = [
     "q_geo_nearest_grid", "q_graph_jaccard_capped",
     "q_graph_jaccard_neighbors", "q_graph_lpa_users", "q_in_subquery",
     "q_intersect", "q_join_anti", "q_join_asof", "q_join_cross",
+    # ---- r13 evidence (the r13 driver window minus the two moved to the
+    #      r14 changed-code head): q_item_item_cf (r13 slot 2, refactor-
+    #      only, unchanged this round), then the 28 r8-leftover rows, then
+    #      the 19 r9-wave rows the r13 window refreshed -------------------
+    "q_item_item_cf",
+    "q_join_full", "q_join_left", "q_join_range", "q_join_right",
+    "q_join_semi", "q_join_theta", "q_lang_id_chargram", "q_map_funcs",
+    "q_math_funcs", "q_pivot", "q_recursive_cte", "q_repetition_ratio",
+    "q_scan_project", "q_sessionize", "q_sort_multi", "q_stream_session",
+    "q_stream_sliding", "q_stream_watermark_dedup", "q_string_funcs",
+    "q_surrogate_keys", "q_text_stats", "q_udaf", "q_udf_scalar", "q_union",
+    "q_unpivot", "q_window_analytic", "q_window_distribution",
+    "q_window_rank",
+    "q_agg_basic", "q_agg_conditional", "q_agg_cube", "q_agg_grouping_sets",
+    "q_agg_mode", "q_agg_percentile_exact", "q_agg_salted", "q_agg_stats",
+    "q_bootstrap_poisson", "q_bpe_merge_candidates", "q_chunk_documents",
+    "q_cooccurrence_lift", "q_date_spine_fill", "q_dedup_exact",
+    "q_diff_in_diff", "q_embedding_quality_audit", "q_except_all",
+    "q_explode_outer", "q_explode_wordcount",
 ]
 
 

@@ -734,17 +734,22 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     be missed by construction (vs the gate's 1e-8 miss probability), so the
     corpus-wide exact oracle is safe to register.
 
-    Candidate generation (full PPJoin, r13 — was AllPairs through r12):
-    order every doc's shingles rarest-first (global document frequency,
-    shingle tie-break — ONE canonical order shared by all docs), keep
-    only the first |x| − ⌈θ|x|⌉ + 1, and equi-join docs sharing a prefix
-    shingle, pruned by THREE exact filters: the length filter
-    (θ|x| ≤ |y|), the prefix filter (sharing nothing in x's prefix caps
-    overlap at ⌈θ|x|⌉ − 1 < the required ⌈θ·max(|x|,|y|)⌉), and the
-    POSITIONAL filter — the first shared prefix token's positions bound
-    overlap ≤ 1 + min(|x|−px, |y|−py), which must reach
-    α = ⌈θ/(1+θ)·(|x|+|y|)⌉ (see the inline proof at the candidate
-    join). The positional filter is the VERDICT r12 item-2 lever: at
+    Candidate generation (full PPJoin, r13 — was AllPairs through r12;
+    asymmetric prefixes + merge bound r14): order every doc's shingles
+    rarest-first (global document frequency, shingle tie-break — ONE
+    canonical order shared by all docs), keep the PROBING prefix
+    |x| − ⌈θ|x|⌉ + 1 on the pair's larger side and the shorter INDEXING
+    prefix |x| − ⌈2θ/(1+θ)|x|⌉ + 1 on its smaller side (pairs oriented
+    by the (sz, doc_id) total order — see the inline theorem at the
+    candidate join), and equi-join docs sharing a prefix shingle, pruned
+    by THREE exact filters: the length filter (θ|y| ≤ |x|), the prefix
+    filter (sharing nothing across the two prefixes caps overlap below
+    the required α), and the prefix-MERGE positional filter (r14 — the
+    r13 first-match form tightened with every shared prefix token): the
+    c shared prefix tokens' last positions bound overlap
+    ≤ c + min(|x|−pc, |y|−qc), which must reach
+    α = ⌈θ/(1+θ)·(|x|+|y|)⌉ (see the inline proof at
+    the candidate join). The positional filter is the VERDICT r12 item-2 lever: at
     sf100-mut the prefix+length gate alone passed 152.4M candidates of
     which only 2.6M survived verify (58:1); position information prunes
     before the verify join ships any shingle array. Scale shape: the
@@ -854,49 +859,86 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = ordered.select(
         "doc_id", "sz", F.posexplode("prefix").alias("p0", "term")
     ).select("doc_id", "sz", (F.col("p0") + 1).alias("pos"), "term")
-    a, b = pre.alias("a"), pre.alias("b")
-    # PPJoin positional filter (r13, VERDICT r12 item 2 — the measured
-    # 58:1 candidate:survivor ratio at sf100-mut): a pair's overlap is
-    # bounded by its FIRST shared prefix token's positions. Let t be the
-    # globally-smallest shared token (both docs' lists follow the ONE
-    # canonical (df, hash) order, so t has the minimal position px in x
-    # AND the minimal position py in y simultaneously, and any shared
-    # token ordered before t would itself be in both prefixes — so at t
-    # exactly one match has occurred). Then
-    #     overlap(x,y) ≤ 1 + min(|x| − px, |y| − py)
-    # while J ≥ θ = n/d requires overlap ≥ α = ⌈n(|x|+|y|)/(n+d)⌉.
-    # Pairs whose bound can't reach α drop BEFORE the verify join ships
-    # their shingle arrays — exact (no true pair prunes: its bound ≥ its
-    # true overlap ≥ α), integer arithmetic end to end. The groupBy
-    # replaces the old .distinct() — same exchange, plus two ints.
+    # ASYMMETRIC prefixes (r14, VERDICT r13 item 1 — PPJoin's second
+    # exact prefix theorem): process each unordered pair in SIZE order
+    # (smaller doc = side a; (sz, doc_id) is a total order so every pair
+    # has exactly one orientation — no distinct needed). The generalized
+    # prefix lemma says overlap ≥ α forces the α smallest shared tokens'
+    # first one into BOTH heads of length |·| − α + 1; per side the
+    # smallest α over that side's legal partners gives
+    #   side a (smaller): α ≥ ⌈2θ/(1+θ)·|x|⌉ (minimized at |y| = |x|)
+    #     ⇒ INDEXING prefix |x| − ⌈2θ/(1+θ)·|x|⌉ + 1 (⌊|x|/3⌋+1 at θ=½)
+    #   side b (larger):  α ≥ ⌈θ|y|⌉        (minimized at |x| = θ|y|)
+    #     ⇒ PROBING prefix |y| − ⌈θ|y|⌉ + 1 (the r13 prefix, unchanged)
+    # so the smaller side's exploded rows drop from ~|x|/2 to ~|x|/3
+    # (guide §2.3 — fewer rows into the candidate exchange) and the
+    # candidate set is a strict subset of the symmetric-prefix one.
     _nd = SETSIM_THETA_NUM + SETSIM_THETA_DEN
+    short_len = F.expr(
+        f"sz - (2 * {SETSIM_THETA_NUM} * sz + {_nd - 1}) div {_nd} + 1"
+    )
+    a = pre.filter(F.col("pos") <= short_len).alias("a")
+    b = pre.alias("b")
+    # PPJoin prefix-MERGE bound (r14, VERDICT r13 item 1 — tightens the
+    # r13 first-match positional filter using EVERY shared prefix token,
+    # still from the same grouped exchange): both docs' lists follow the
+    # ONE canonical (df, hash) total order, so the c shared prefix tokens
+    # t1 < … < tc have simultaneously-increasing positions on both sides,
+    # and max(pa)/max(pb) both refer to tc. Any token shared between x
+    # and y (anywhere) that is ordered before tc sits at positions < pc ≤
+    # prefixlen(x) and < qc ≤ prefixlen(y), i.e. it IS one of t1…t(c−1) —
+    # so exactly c matches exist among tokens ≤ tc, and at most
+    # min(|x| − pc, |y| − qc) more can follow. Hence
+    #     overlap(x,y) ≤ c + min(|x| − pc, |y| − qc)
+    # while J ≥ θ = n/d requires overlap ≥ α = ⌈n(|x|+|y|)/(n+d)⌉.
+    # With c = 1 this is exactly the r13 bound; since positions strictly
+    # increase (pc ≥ p1 + c − 1 on both sides), the merge bound is NEVER
+    # looser and is strictly tighter whenever unmatched tokens interleave
+    # the shared prefix — the "partial merge over the prefix" the PPJoin+
+    # suffix filter approximates, here exact and costing one count per
+    # grouped pair (same exchange: two ints become three). No true pair
+    # prunes: the bound ≥ the true overlap ≥ α (the proof holds verbatim
+    # under the asymmetric prefixes: a shared token before tc sits inside
+    # BOTH exploded windows, so it is one of the c group rows).
     cand = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (  # length filter: θ|x| ≤ |y| (else J < θ regardless)
-                SETSIM_THETA_DEN * F.least(F.col("a.sz"), F.col("b.sz"))
-                >= SETSIM_THETA_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            & (  # size-order orientation: a is the (sz, doc_id)-smaller doc
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (  # length filter: θ|y| ≤ |x| (else J < θ regardless)
+                SETSIM_THETA_DEN * F.col("a.sz")
+                >= SETSIM_THETA_NUM * F.col("b.sz")
             ),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
             F.col("a.sz").alias("sza"),
             F.col("b.sz").alias("szb"),
         )
         .agg(
-            F.min(F.col("a.pos")).alias("pa"),
-            F.min(F.col("b.pos")).alias("pb"),
+            F.count(F.lit(1)).alias("npfx"),
+            F.max(F.col("a.pos")).alias("pa"),
+            F.max(F.col("b.pos")).alias("pb"),
         )
         .filter(
             F.expr(
-                "1 + least(sza - pa, szb - pb) >= "
+                "npfx + least(sza - pa, szb - pb) >= "
                 f"({SETSIM_THETA_NUM} * (sza + szb) + {_nd - 1}) div {_nd}"
             )
         )
-        .select("doc_a", "doc_b")
+        # orientation is by size; the contract (and the verify join) wants
+        # doc_a < doc_b by id — reorient, still one row per pair
+        .select(
+            F.least(F.col("ida"), F.col("idb")).alias("doc_a"),
+            F.greatest(F.col("ida"), F.col("idb")).alias("doc_b"),
+        )
     )
     def _verify_of(c: DataFrame) -> DataFrame:
         return (
@@ -1001,10 +1043,11 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs |x∩y| ≥ ⌈t|x|⌉; missing x's whole prefix caps it at ⌈t|x|⌉ − 1.
     No size-ratio filter exists for containment (a tiny doc can live inside
     a huge one) — that asymmetry is the point, which makes the PPJoin
-    POSITIONAL filter (r13, VERDICT r12 item 2) the one prune available:
-    both sides carry each token's position in the canonical rarest-first
-    order, and a pair drops per direction when
-    1 + min(|x|−px, |y|−py) < ⌈t·min(|x|,|y|)⌉ — exact, proven at the
+    positional prune (r13, tightened to the prefix-MERGE bound in r14 —
+    VERDICT r13 item 1) the one prune available: both sides carry each
+    token's position in the canonical rarest-first order, and a pair
+    drops per direction when its c shared tokens' last positions give
+    c + min(|x|−pc, |y|−qc) < ⌈t·min(|x|,|y|)⌉ — exact, proven at the
     candidate join. Exact verify on candidates only; floor-ppm output,
     integer-exact.
 
@@ -1061,20 +1104,27 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("otk").alias("p0", "term"),
     ).select("doc_id", "sz", (F.col("p0") + 1).alias("pos"), "term")
     a, b = prefix.alias("a"), full.alias("b")
-    # PPJoin positional filter, containment form (r13, VERDICT r12
-    # item 2; the proof mirrors setsim's inline note): both sides follow
-    # the one canonical (df, hash) order, so the globally-smallest token
-    # shared between x's prefix and y's full set has minimal position on
-    # BOTH sides and exactly one match has occurred at it, giving
-    #     |x∩y| ≤ 1 + min(|x| − px, |y| − py)
-    # which must reach α = ⌈t·min(|x|,|y|)⌉. Applied PER DIRECTION
-    # before the least/greatest canonicalization: the direction whose
-    # prefix side is the containment-deciding doc generates AND keeps
-    # every true pair (its bound ≥ its true overlap ≥ α), and the union
-    # of directions can only add candidates — exact. No length filter
-    # exists for containment (a tiny doc inside a huge one is the whole
-    # point); position is the only prune available, which is why the
-    # build side explodes ALL tokens.
+    # PPJoin prefix-MERGE bound, containment form (r14, VERDICT r13
+    # item 1; the proof mirrors setsim's inline note): both sides follow
+    # the one canonical (df, hash) order, so the c tokens shared between
+    # x's prefix and y's full set have simultaneously-increasing
+    # positions and max(pa)/max(pb) both refer to the LAST one, tc. Any
+    # token shared between x and y ordered before tc sits at a position
+    # < pc ≤ prefixlen(x) in x — inside x's prefix — and (trivially) in
+    # y's full set, so it is one of t1…t(c−1): exactly c matches exist
+    # among tokens ≤ tc, and at most min(|x| − pc, |y| − qc) can follow:
+    #     |x∩y| ≤ c + min(|x| − px, |y| − py)
+    # which must reach α = ⌈t·min(|x|,|y|)⌉. With c = 1 this is the r13
+    # first-match bound; it is never looser and strictly tighter when
+    # unmatched tokens interleave (VERDICT r13: the r13 bound pruned only
+    # 29% here — the merge bound is the exact next lever). Applied PER
+    # DIRECTION before the least/greatest canonicalization: the
+    # direction whose prefix side is the containment-deciding doc
+    # generates AND keeps every true pair (its bound ≥ its true overlap
+    # ≥ α), and the union of directions can only add candidates — exact.
+    # No length filter exists for containment (a tiny doc inside a huge
+    # one is the whole point); position is the only prune available,
+    # which is why the build side explodes ALL tokens.
     cand = (
         a.join(
             b,
@@ -1088,12 +1138,13 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.sz").alias("szb"),
         )
         .agg(
-            F.min(F.col("a.pos")).alias("pa"),
-            F.min(F.col("b.pos")).alias("pb"),
+            F.count(F.lit(1)).alias("npfx"),
+            F.max(F.col("a.pos")).alias("pa"),
+            F.max(F.col("b.pos")).alias("pb"),
         )
         .filter(
             F.expr(
-                "1 + least(sza - pa, szb - pb) >= "
+                "npfx + least(sza - pa, szb - pb) >= "
                 f"({CONTAIN_NUM} * least(sza, szb) + {CONTAIN_DEN - 1}) "
                 f"div {CONTAIN_DEN}"
             )

@@ -1,12 +1,14 @@
-"""Measure the PPJoin positional filter's candidate pruning (r13,
-VERDICT r12 item 2) on a mutated fixture.
+"""Measure the PPJoin positional filters' candidate pruning (r13
+first-match, r14 prefix-merge — VERDICT r12 item 2 / r13 item 1) on a
+mutated fixture.
 
-Rebuilds q_setsim_join_prefix's candidate-generation pipeline twice from
-the same token prep — once with the r12 AllPairs gate (prefix equi-join +
-length filter + distinct: the 15.25M-candidate / 58:1 anchor at
-sf10-mut) and once with the r13 positional filter stacked on top — and
-prints both counts plus the containment twin's equivalents. Counts only;
-the full-query walls come from tools/sf10_mut_rows.py as usual.
+Rebuilds q_setsim_join_prefix's candidate-generation pipeline THREE ways
+from the same token prep — the r12 AllPairs gate (prefix equi-join +
+length filter + distinct), the r13 first-match positional filter
+(1 + min-position bound), and the r14 prefix-merge bound (count + last
+positions) — and prints all counts plus the containment twin's
+equivalents. Counts only; the full-query walls come from
+tools/sf10_mut_rows.py as usual.
 
 Usage: SPARK_GRAFT_MUT_DIR=... python tools/setsim_ppjoin_probe.py
 """
@@ -90,23 +92,83 @@ def main() -> None:
         F.col("a.sz").alias("sza"),
         F.col("b.sz").alias("szb"),
     ).agg(
-        F.min(F.col("a.pos")).alias("pa"), F.min(F.col("b.pos")).alias("pb")
+        F.count(F.lit(1)).alias("npfx"),
+        F.min(F.col("a.pos")).alias("pa_min"),
+        F.min(F.col("b.pos")).alias("pb_min"),
+        F.max(F.col("a.pos")).alias("pa_max"),
+        F.max(F.col("b.pos")).alias("pb_max"),
     )
     nd = SETSIM_THETA_NUM + SETSIM_THETA_DEN
+    alpha = f"({SETSIM_THETA_NUM} * (sza + szb) + {nd - 1}) div {nd}"
     t0 = time.time()
     n_allpairs = grouped.count()
     t1 = time.time()
-    n_ppjoin = grouped.filter(
-        F.expr(
-            "1 + least(sza - pa, szb - pb) >= "
-            f"({SETSIM_THETA_NUM} * (sza + szb) + {nd - 1}) div {nd}"
-        )
+    n_r13 = grouped.filter(
+        F.expr(f"1 + least(sza - pa_min, szb - pb_min) >= {alpha}")
     ).count()
     t2 = time.time()
+    n_r14 = grouped.filter(
+        F.expr(f"npfx + least(sza - pa_max, szb - pb_max) >= {alpha}")
+    ).count()
+    t3 = time.time()
     print(
         f"setsim @ {MUT}: allpairs candidates {n_allpairs} "
-        f"({t1 - t0:.1f}s), ppjoin candidates {n_ppjoin} ({t2 - t1:.1f}s), "
-        f"pruned {100 * (1 - n_ppjoin / max(1, n_allpairs)):.1f}%",
+        f"({t1 - t0:.1f}s), r13 first-match {n_r13} ({t2 - t1:.1f}s), "
+        f"r14 prefix-merge {n_r14} ({t3 - t2:.1f}s), "
+        f"pruned vs allpairs {100 * (1 - n_r14 / max(1, n_allpairs)):.1f}%, "
+        f"vs r13 {100 * (1 - n_r14 / max(1, n_r13)):.1f}%",
+        flush=True,
+    )
+
+    # ---- setsim r14 shipped form: ASYMMETRIC prefixes + merge bound -----
+    # (smaller side explodes only the indexing prefix |x|−⌈2θ/(1+θ)|x|⌉+1;
+    # pairs oriented by the (sz, doc_id) total order)
+    short_len = F.expr(
+        f"sz - (2 * {SETSIM_THETA_NUM} * sz + {nd - 1}) div {nd} + 1"
+    )
+    aa = pre.filter(F.col("pos") <= short_len).alias("a")
+    bb = pre.alias("b")
+    asym = (
+        aa.join(
+            bb,
+            (F.col("a.term") == F.col("b.term"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (
+                SETSIM_THETA_DEN * F.col("a.sz")
+                >= SETSIM_THETA_NUM * F.col("b.sz")
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("npfx"),
+            F.max(F.col("a.pos")).alias("pa"),
+            F.max(F.col("b.pos")).alias("pb"),
+        )
+        .filter(F.expr(f"npfx + least(sza - pa, szb - pb) >= {alpha}"))
+    )
+    # exploded-row volumes: the §2.3 "fewer rows into the exchange" term
+    n_pre = pre.count()
+    n_short = pre.filter(F.col("pos") <= short_len).count()
+    t4 = time.time()
+    n_asym = asym.count()
+    t5 = time.time()
+    print(
+        f"setsim-asym @ {MUT}: asymmetric+merge candidates {n_asym} "
+        f"({t5 - t4:.1f}s), vs r13 first-match "
+        f"{100 * (1 - n_asym / max(1, n_r13)):.1f}% pruned; "
+        f"index-side exploded rows {n_short} vs probing {n_pre} "
+        f"({100 * (1 - n_short / max(1, n_pre)):.1f}% fewer)",
         flush=True,
     )
 
@@ -138,40 +200,49 @@ def main() -> None:
             F.col("b.sz").alias("szb"),
         )
         .agg(
-            F.min(F.col("a.pos")).alias("pa"),
-            F.min(F.col("b.pos")).alias("pb"),
+            F.count(F.lit(1)).alias("npfx"),
+            F.min(F.col("a.pos")).alias("pa_min"),
+            F.min(F.col("b.pos")).alias("pb_min"),
+            F.max(F.col("a.pos")).alias("pa_max"),
+            F.max(F.col("b.pos")).alias("pb_max"),
         )
     )
-    t0 = time.time()
-    n_plain = (
-        cgrouped.select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-        )
-        .distinct()
-        .count()
+    calpha = (
+        f"({CONTAIN_NUM} * least(sza, szb) + {CONTAIN_DEN - 1}) "
+        f"div {CONTAIN_DEN}"
     )
-    t1 = time.time()
-    n_pos = (
-        cgrouped.filter(
-            F.expr(
-                "1 + least(sza - pa, szb - pb) >= "
-                f"({CONTAIN_NUM} * least(sza, szb) + {CONTAIN_DEN - 1}) "
-                f"div {CONTAIN_DEN}"
+
+    def _pairs(df):
+        return (
+            df.select(
+                F.least("ida", "idb").alias("doc_a"),
+                F.greatest("ida", "idb").alias("doc_b"),
             )
+            .distinct()
+            .count()
         )
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
+
+    t0 = time.time()
+    n_plain = _pairs(cgrouped)
+    t1 = time.time()
+    n_r13 = _pairs(
+        cgrouped.filter(
+            F.expr(f"1 + least(sza - pa_min, szb - pb_min) >= {calpha}")
         )
-        .distinct()
-        .count()
     )
     t2 = time.time()
+    n_r14 = _pairs(
+        cgrouped.filter(
+            F.expr(f"npfx + least(sza - pa_max, szb - pb_max) >= {calpha}")
+        )
+    )
+    t3 = time.time()
     print(
         f"containment @ {MUT}: prefix-hit candidates {n_plain} "
-        f"({t1 - t0:.1f}s), positional candidates {n_pos} ({t2 - t1:.1f}s), "
-        f"pruned {100 * (1 - n_pos / max(1, n_plain)):.1f}%",
+        f"({t1 - t0:.1f}s), r13 first-match {n_r13} ({t2 - t1:.1f}s), "
+        f"r14 prefix-merge {n_r14} ({t3 - t2:.1f}s), "
+        f"pruned vs prefix-hit {100 * (1 - n_r14 / max(1, n_plain)):.1f}%, "
+        f"vs r13 {100 * (1 - n_r14 / max(1, n_r13)):.1f}%",
         flush=True,
     )
     spark.stop()
