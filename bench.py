@@ -120,11 +120,24 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
     }
     timings: dict[str, float] = {}
+    plan_builds: dict[str, float] = {}
     for name in HEADLINE:
         if name in skip:
             continue
         fn = queries[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: JIT+IO cache
+        # plan_build_s (r14, VERDICT r13 item 6 — ADDITIONS-ONLY
+        # observability): DataFrame construction + Catalyst analysis
+        # seconds, measured on a separate warm build OUTSIDE every timed
+        # region. The r13 decomposition showed 30-50% of each sf0.1
+        # reading is driver-side planning; recording the per-query
+        # planning term next to now_sec lets future PERF deltas separate
+        # planning noise from execution signal. The timed loop below is
+        # UNCHANGED (same rebuild-per-run methodology, same noop sink).
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        _ = df.schema  # forces analysis (not execution)
+        plan_builds[name] = round(time.perf_counter() - t0, 3)
+        df.write.format("noop").mode("overwrite").save()  # warm: JIT+IO cache
         best = float("inf")
         for _ in range(2):  # min-of-2 damps JIT/GC noise
             t0 = time.perf_counter()
@@ -143,6 +156,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "plan_build_s": plan_builds,  # additions-only key (r14): per-query
+        # construction+analysis seconds, measured outside the timed runs
         "loadavg_prerun": loadavg,
         "cpu_canary_s": cpu_canary,
         "membw_canary_s": membw_canary,

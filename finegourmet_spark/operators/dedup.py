@@ -599,41 +599,90 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_popcount_batches(it):
+    """Arrow batches of (doc_id, hashes) → (doc_id, simhash), vectorized.
+
+    Reproduces the JVM per-bit majority vote EXACTLY: bit j is set iff
+    vote_j = Σ_tokens (±1) > 0 ⇔ 2·popcount_j > n_tokens (vote = 2·pop −
+    n, integer comparison — no rounding anywhere). numpy's little-endian
+    byte view + unpackbits(bitorder='little') makes column j equal
+    (h >> j) & 1, so bit 63 (the JVM's min-long mask special case) is
+    just column 63 in the unsigned domain; the assembled uint64 is
+    viewed back as int64. Null/empty hash arrays yield simhash 0 —
+    identical to the JVM fold's null-vote → otherwise(0) path.
+    Module-level so reused Python workers keep it importable (§4.5)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in pdf["hashes"]),
+            dtype=np.int64,
+            count=len(pdf),
+        )
+        sims = np.zeros(len(pdf), dtype=np.uint64)
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [
+                    np.asarray(h, dtype=np.int64)
+                    for h in pdf["hashes"]
+                    if h is not None and len(h)
+                ]
+            )
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )  # (n_tokens, 64) uint8 — column j == (h >> j) & 1
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nonempty = lens > 0
+            pops = np.zeros((len(pdf), 64), dtype=np.int64)
+            # reduceat over the nonempty docs only (an empty doc's
+            # popcounts stay 0 — reduceat mishandles 0-length segments)
+            pops[nonempty] = np.add.reduceat(
+                bits.astype(np.int64), starts[nonempty], axis=0
+            )
+            bitvals = (2 * pops > lens[:, None]).astype(np.uint64)
+            sims = (bitvals << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "simhash": sims.view(np.int64)}
+        )
+
+
 @query("q_dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) per document: weighted majority vote per bit over
-    token hashes, entirely in JVM expressions — for bit j, sign of
-    Σ_tokens (bit_j(xxhash64(tok)) ? 1 : -1). Near-dups share signatures.
-    Output: doc_id, simhash, and bucket population (docs per signature)."""
+    token hashes — for bit j, sign of Σ_tokens (bit_j(xxhash64(tok)) ? 1
+    : -1). Near-dups share signatures. Output: doc_id, simhash, and
+    bucket population (docs per signature).
+
+    r14 (VERDICT r13 item 4, guide §4.1/§4.2): the vote runs as ONE
+    Arrow mapInPandas popcount (`_simhash_popcount_batches` — numpy
+    unpackbits + add.reduceat per doc) instead of 64 interpreted
+    ArrayAggregate folds per document. Catalyst's HOFs are
+    CodegenFallback — 64 passes/doc, each per-element interpreted — and
+    the 64-fold expression tree also paid real planning time each build.
+    The Arrow form moves BOTH terms the right way (the r13 dot()-unroll
+    experiment moved them opposite ways and was rejected): measured
+    rebuild-per-run A/B in the docstring ledger (tools/simhash_ab.py,
+    exact-equality-gated). Signature values are bit-identical to the old
+    fold by construction: 2·popcount_j > n ⇔ vote_j > 0, and the
+    uint64 assembly reproduces the shiftleft/bitwiseOR fold including
+    bit 63 (sign bit) — pinned by tests/test_llm_ops.py's
+    reference-equality test. Only (doc_id, hashes) cross the boundary
+    (§4.1 — project before the opaque op); xxhash64 tokenization stays
+    JVM-side; the bucket-count window stays JVM-side after.
+    Session-conf independent (no arithmetic that can ANSI-overflow:
+    numpy uint64 domain)."""
     d = spread(t(spark, sf_dir, "documents")).select(
         "doc_id", normalized_text().alias("txt")
     )
     toks = F.array_distinct(F.split(F.col("txt"), " "))
     d = d.select("doc_id", F.transform(toks, lambda s: F.xxhash64(s)).alias("hashes"))
-
-    def bit_vote(j: int) -> F.Column:
-        # vote for bit j: +1 per token whose hash has bit j set, else -1
-        # (bit 63 is the sign bit: 1<<63 overflows signed long, use min-long)
-        mask = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-        vote = F.aggregate(
-            F.col("hashes"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    # fold bits high→low: sim = (b63<<63) | (b62<<62) | ... — assembled with
-    # shiftleft+bitwiseOR, which are wraparound bit ops under BOTH ANSI modes
-    # (the previous `acc * 2 + b` fold threw ARITHMETIC_OVERFLOW at bit 63
-    # under the driver's ANSI-on session, CORRECTNESS_r03 ERR; bit ops never
-    # overflow-check, so the signature is session-conf independent)
-    bits_high_to_low = F.array(*[bit_vote(j) for j in range(63, -1, -1)])
-    sim = F.aggregate(
-        bits_high_to_low,
-        F.lit(0).cast("long"),
-        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+    sigs = d.mapInPandas(
+        _simhash_popcount_batches, schema="doc_id long, simhash long"
     )
-    sigs = d.select("doc_id", sim.alias("simhash"))
     from pyspark.sql.window import Window
 
     wcnt = Window.partitionBy("simhash")
@@ -735,21 +784,19 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide exact oracle is safe to register.
 
     Candidate generation (full PPJoin, r13 — was AllPairs through r12;
-    asymmetric prefixes + merge bound r14): order every doc's shingles
-    rarest-first (global document frequency, shingle tie-break — ONE
-    canonical order shared by all docs), keep the PROBING prefix
-    |x| − ⌈θ|x|⌉ + 1 on the pair's larger side and the shorter INDEXING
-    prefix |x| − ⌈2θ/(1+θ)|x|⌉ + 1 on its smaller side (pairs oriented
-    by the (sz, doc_id) total order — see the inline theorem at the
-    candidate join), and equi-join docs sharing a prefix shingle, pruned
-    by THREE exact filters: the length filter (θ|y| ≤ |x|), the prefix
-    filter (sharing nothing across the two prefixes caps overlap below
-    the required α), and the prefix-MERGE positional filter (r14 — the
-    r13 first-match form tightened with every shared prefix token): the
-    c shared prefix tokens' last positions bound overlap
+    prefix-MERGE bound r14): order every doc's shingles rarest-first
+    (global document frequency, shingle tie-break — ONE canonical order
+    shared by all docs), keep only the first |x| − ⌈θ|x|⌉ + 1, and
+    equi-join docs sharing a prefix shingle, pruned by THREE exact
+    filters: the length filter (θ|x| ≤ |y|), the prefix filter (sharing
+    nothing in x's prefix caps overlap at ⌈θ|x|⌉ − 1 < the required
+    ⌈θ·max(|x|,|y|)⌉), and the prefix-MERGE positional filter (r14 —
+    the r13 first-match form tightened with every shared prefix token):
+    the c shared prefix tokens' last positions bound overlap
     ≤ c + min(|x|−pc, |y|−qc), which must reach
-    α = ⌈θ/(1+θ)·(|x|+|y|)⌉ (see the inline proof at
-    the candidate join). The positional filter is the VERDICT r12 item-2 lever: at
+    α = ⌈θ/(1+θ)·(|x|+|y|)⌉ (see the inline proof at the candidate
+    join; the asymmetric short-indexing-prefix variant was measured and
+    reverted — inline note there). The positional filter is the VERDICT r12 item-2 lever: at
     sf100-mut the prefix+length gate alone passed 152.4M candidates of
     which only 2.6M survived verify (58:1); position information prunes
     before the verify join ships any shingle array. Scale shape: the
@@ -859,26 +906,23 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = ordered.select(
         "doc_id", "sz", F.posexplode("prefix").alias("p0", "term")
     ).select("doc_id", "sz", (F.col("p0") + 1).alias("pos"), "term")
-    # ASYMMETRIC prefixes (r14, VERDICT r13 item 1 — PPJoin's second
-    # exact prefix theorem): process each unordered pair in SIZE order
-    # (smaller doc = side a; (sz, doc_id) is a total order so every pair
-    # has exactly one orientation — no distinct needed). The generalized
-    # prefix lemma says overlap ≥ α forces the α smallest shared tokens'
-    # first one into BOTH heads of length |·| − α + 1; per side the
-    # smallest α over that side's legal partners gives
-    #   side a (smaller): α ≥ ⌈2θ/(1+θ)·|x|⌉ (minimized at |y| = |x|)
-    #     ⇒ INDEXING prefix |x| − ⌈2θ/(1+θ)·|x|⌉ + 1 (⌊|x|/3⌋+1 at θ=½)
-    #   side b (larger):  α ≥ ⌈θ|y|⌉        (minimized at |x| = θ|y|)
-    #     ⇒ PROBING prefix |y| − ⌈θ|y|⌉ + 1 (the r13 prefix, unchanged)
-    # so the smaller side's exploded rows drop from ~|x|/2 to ~|x|/3
-    # (guide §2.3 — fewer rows into the candidate exchange) and the
-    # candidate set is a strict subset of the symmetric-prefix one.
+    # SYMMETRIC prefixes on both sides — measured and kept (r14): the
+    # asymmetric PPJoin indexing prefix (smaller side explodes only
+    # |x| − ⌈2θ/(1+θ)|x|⌉ + 1 = ⌊|x|/3⌋+1 tokens at θ=½) was implemented,
+    # proven exact, oracle-green, and REVERTED on an interleaved
+    # B/A/B/A measurement at sf100-mut: r14-asym 465.2 / 469.1 s vs the
+    # r13 symmetric form's 273.2 s in between (rows identical). The
+    # −32.7% one-sided exploded rows (13.41M → 9.02M at sf10-mut) is
+    # real, but filtering ONE side of a self-join makes the two join
+    # inputs different subplans, so Spark can no longer reuse a single
+    # shuffle of `pre` for both sides — the candidate exchange + sort
+    # runs twice (13.4M + 9.0M rows) instead of once (13.4M, reused),
+    # and at the decade rung that reuse loss costs far more than the row
+    # saving. Final candidates were within 0.3% of symmetric anyway (the
+    # shorter prefix also weakens the merge bound below). Keeping the
+    # sides IDENTICAL is the §2.4 lever here: one exchange, reused.
     _nd = SETSIM_THETA_NUM + SETSIM_THETA_DEN
-    short_len = F.expr(
-        f"sz - (2 * {SETSIM_THETA_NUM} * sz + {_nd - 1}) div {_nd} + 1"
-    )
-    a = pre.filter(F.col("pos") <= short_len).alias("a")
-    b = pre.alias("b")
+    a, b = pre.alias("a"), pre.alias("b")
     # PPJoin prefix-MERGE bound (r14, VERDICT r13 item 1 — tightens the
     # r13 first-match positional filter using EVERY shared prefix token,
     # still from the same grouped exchange): both docs' lists follow the
@@ -897,28 +941,20 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared prefix — the "partial merge over the prefix" the PPJoin+
     # suffix filter approximates, here exact and costing one count per
     # grouped pair (same exchange: two ints become three). No true pair
-    # prunes: the bound ≥ the true overlap ≥ α (the proof holds verbatim
-    # under the asymmetric prefixes: a shared token before tc sits inside
-    # BOTH exploded windows, so it is one of the c group rows).
+    # prunes: the bound ≥ the true overlap ≥ α.
     cand = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
-            & (  # size-order orientation: a is the (sz, doc_id)-smaller doc
-                (F.col("a.sz") < F.col("b.sz"))
-                | (
-                    (F.col("a.sz") == F.col("b.sz"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id"))
-                )
-            )
-            & (  # length filter: θ|y| ≤ |x| (else J < θ regardless)
-                SETSIM_THETA_DEN * F.col("a.sz")
-                >= SETSIM_THETA_NUM * F.col("b.sz")
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (  # length filter: θ|x| ≤ |y| (else J < θ regardless)
+                SETSIM_THETA_DEN * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= SETSIM_THETA_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
             ),
         )
         .groupBy(
-            F.col("a.doc_id").alias("ida"),
-            F.col("b.doc_id").alias("idb"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.col("a.sz").alias("sza"),
             F.col("b.sz").alias("szb"),
         )
@@ -933,12 +969,7 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({SETSIM_THETA_NUM} * (sza + szb) + {_nd - 1}) div {_nd}"
             )
         )
-        # orientation is by size; the contract (and the verify join) wants
-        # doc_a < doc_b by id — reorient, still one row per pair
-        .select(
-            F.least(F.col("ida"), F.col("idb")).alias("doc_a"),
-            F.greatest(F.col("ida"), F.col("idb")).alias("doc_b"),
-        )
+        .select("doc_a", "doc_b")
     )
     def _verify_of(c: DataFrame) -> DataFrame:
         return (
@@ -1037,9 +1068,12 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates by the asymmetric prefix scheme: the PREFIX side keeps each
     doc's |x| − ⌈t|x|⌉ + 1 rarest shingles, the build side explodes ALL
-    shingles, and a pair qualifies when the (potentially) smaller doc's
-    prefix hits the other doc's full set — running both directions covers
-    not knowing which side is smaller. Completeness: containment ≥ t of x
+    shingles, and a pair qualifies when the (sz, doc_id)-smaller doc's
+    prefix hits the other doc's full set — ONE direction per pair (r14;
+    the containment decision is against min(|x|,|y|), so the smaller doc
+    is always the deciding one — the reverse direction the code ran
+    through r13 only added never-true candidates plus a dedup exchange).
+    Completeness: containment ≥ t of x
     needs |x∩y| ≥ ⌈t|x|⌉; missing x's whole prefix caps it at ⌈t|x|⌉ − 1.
     No size-ratio filter exists for containment (a tiny doc can live inside
     a huge one) — that asymmetry is the point, which makes the PPJoin
@@ -1117,19 +1151,37 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which must reach α = ⌈t·min(|x|,|y|)⌉. With c = 1 this is the r13
     # first-match bound; it is never looser and strictly tighter when
     # unmatched tokens interleave (VERDICT r13: the r13 bound pruned only
-    # 29% here — the merge bound is the exact next lever). Applied PER
-    # DIRECTION before the least/greatest canonicalization: the
-    # direction whose prefix side is the containment-deciding doc
-    # generates AND keeps every true pair (its bound ≥ its true overlap
-    # ≥ α), and the union of directions can only add candidates — exact.
-    # No length filter exists for containment (a tiny doc inside a huge
-    # one is the whole point); position is the only prune available,
-    # which is why the build side explodes ALL tokens.
+    # 29% here — the merge bound is the exact next lever).
+    #
+    # SINGLE DIRECTION (r14): the containment decision is against
+    # min(|x|,|y|), i.e. the SMALLER doc is always the deciding one, and
+    # the prefix lemma needs exactly that doc's prefix to hit the other
+    # doc's full set (overlap ≥ α = ⌈t|x|⌉ forces the first shared token
+    # into x's |x|−α+1 head; it sits in y trivially). So the direction
+    # whose prefix side is the (sz, doc_id)-smaller doc generates AND
+    # keeps every true pair (its bound ≥ its true overlap ≥ α) — the
+    # reverse direction the code ran through r13 only ever ADDED
+    # never-true candidates and a dedup pass. Dropping it halves the
+    # candidate-slot fan-out through the equi-join and the grouped
+    # exchange, and removes the `.distinct()` Exchange outright
+    # (one row per pair by the total order — guide §2.4). No length
+    # filter exists for containment (a tiny doc inside a huge one is the
+    # whole point); position is the only prune available, which is why
+    # the build side explodes ALL tokens.
     cand = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (  # prefix side = the (sz, doc_id)-smaller (deciding) doc;
+                # equal sizes tie-break by id (either doc is "the min" —
+                # the lemma holds for the lower-id one), so the strict
+                # total order gives each pair exactly ONE orientation
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
         )
         .groupBy(
             F.col("a.doc_id").alias("ida"),
@@ -1149,11 +1201,12 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"div {CONTAIN_DEN}"
             )
         )
+        # one row per pair by the strict total order — no distinct needed
+        # (the r13 form's dedup Exchange is gone from the plan)
         .select(
             F.least(F.col("ida"), F.col("idb")).alias("doc_a"),
             F.greatest(F.col("ida"), F.col("idb")).alias("doc_b"),
         )
-        .distinct()
     )
     return (
         cand.join(

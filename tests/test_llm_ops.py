@@ -175,6 +175,55 @@ def test_simhash_identical_docs_share_signature(spark, corpus_dir):
     assert hamming(sigs[0]["simhash"], sigs[3]["simhash"]) > 10
 
 
+def test_simhash_arrow_popcount_equals_jvm_fold_reference(spark, sf_dir):
+    """The r14 Arrow mapInPandas popcount must be BIT-IDENTICAL to the
+    pre-r14 JVM per-bit fold (the reference implementation, rebuilt here
+    verbatim): 2·popcount_j > n ⇔ vote_j > 0, incl. bit 63 (sign bit)
+    and null/empty-token docs. Guards the vectorized rewrite against any
+    drift in bit order, vote tie behavior, or empty-doc handling."""
+    from finegourmet_spark.functions.partitioning import spread
+    from finegourmet_spark.operators.dedup import normalized_text
+    from finegourmet_spark.sources.testdata import load_table
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", normalized_text().alias("txt")
+    )
+    toks = F.array_distinct(F.split(F.col("txt"), " "))
+    d = d.select(
+        "doc_id", F.transform(toks, lambda s: F.xxhash64(s)).alias("hashes")
+    )
+
+    def bit_vote(j: int) -> F.Column:
+        mask = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        vote = F.aggregate(
+            F.col("hashes"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bits_high_to_low = F.array(*[bit_vote(j) for j in range(63, -1, -1)])
+    sim = F.aggregate(
+        bits_high_to_low,
+        F.lit(0).cast("long"),
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+    )
+    reference = {
+        (r["doc_id"], r["simhash"])
+        for r in d.select("doc_id", sim.alias("simhash")).collect()
+    }
+    shipped = {
+        (r["doc_id"], r["simhash"])
+        for r in QUERIES["q_dedup_simhash"](spark, sf_dir)
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    assert shipped == reference
+
+
 def test_ivf_subset_of_bruteforce_space(spark, sf_dir):
     """IVF probes only the query's cell — its neighbors are a subset of the
     corpus, all sharing the query's label."""

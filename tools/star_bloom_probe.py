@@ -57,10 +57,24 @@ def main() -> None:
         t0 = time.perf_counter()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Plan capture via the public explain API (ADVICE r13: the private
+    # df._jdf accessor is version-fragile, and this DataFrame's own
+    # QueryExecution never executes — the noop writes run through separate
+    # QueryExecutions — so under AQE any join-strategy read here is the
+    # INITIAL plan, not the runtime-adapted one. bloom might_contain
+    # detection is unaffected: runtime bloom injection is a static
+    # optimizer rule, visible pre-execution.)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     injected = "bloom_filter" in plan or "might_contain" in plan
     print(
         f"{variant}: best {best:.2f} s; bloom injected: {injected}; "
+        f"pre-AQE plan shape (initial, not runtime-adapted): "
         f"SMJ: {'SortMergeJoin' in plan}; "
         f"broadcast joins: {plan.count('BroadcastHashJoin')}"
     )
