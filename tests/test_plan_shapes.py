@@ -879,3 +879,15 @@ def test_session_liveness_confs_applied(spark):
     conf.get — these are liveness-only knobs, never results or plans."""
     assert spark.conf.get("spark.network.timeout") == "600s"
     assert spark.conf.get("spark.executor.heartbeatInterval") == "20s"
+
+
+def test_session_parquet_codec_applied(spark):
+    """The factory's parquet sink codec (r14, guide §6): zstd measured
+    −64% output bytes at wall-neutral build on the 10,000× star rung
+    (OPTIMIZATION_r14.md). Write-side only — results and plans of every
+    registered query are unaffected; pin via conf.get like the liveness
+    knobs (unknown conf keys are accepted silently)."""
+    import os
+
+    expected = os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd")
+    assert spark.conf.get("spark.sql.parquet.compression.codec") == expected

@@ -36,7 +36,7 @@ def main() -> None:
 
     import __spark_entry__ as contract
     from bench import _host_canary
-    from finegourmet_spark.operators.scratch import _shuffle_scratch_bytes
+    from finegourmet_spark.operators.scratch import shuffle_scratch_bytes as _shuffle_scratch_bytes
     from finegourmet_spark.session import get_spark
 
     q = contract.queries()
